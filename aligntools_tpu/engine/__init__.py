@@ -1,0 +1,4 @@
+"""Device engines: JAX row-scan (scan.py), Pallas kernels (ops/), host
+traceback (traceback.py)."""
+
+from aligntools_tpu.engine.scan import scan_align  # noqa: F401
