@@ -1,0 +1,148 @@
+"""``aligntools`` CLI — byte-parity result surface over the TPU engine.
+
+Mirrors the reference binary's observable stdout exactly (reference:
+src/main.c:6-57 and the five main_* entry points in src/alignment.h):
+
+  * ``score=%f`` + two gapped rows for global/local/fit (alignment.h:509);
+  * overlap prints a BARE ``%f`` (no prefix; alignment.h:1000);
+  * ``edit_distance=%d`` (alignment.h:345);
+  * ``fit -s`` echoes the second record's raw header comment before the
+    results (alignment.h:249);
+  * success epilogue ``[main] Version:`` / ``[main] CMD:`` on stderr
+    (main.c:49-55); unknown command -> ``[main] unrecognized command``.
+
+Documented divergences (QUIRKS.md): options work for ``overlap`` (the
+reference reads argv[1] as the filename and dies on any option,
+alignment.h:994); fit's stray debug line is not printed; ``edit -e`` takes
+a value and is ignored (the reference's optstring makes it UB).
+
+POSIX option parsing (options before the file argument) via getopt, like
+the reference.
+"""
+
+from __future__ import annotations
+
+import getopt
+import sys
+
+from aligntools_tpu.api import align_file
+from aligntools_tpu.params import AlignParams
+from aligntools_tpu.version import __version__
+
+_OPTSTRINGS = {
+    # reference optstrings: global/local/overlap "m:u:o:e:j:s" with -j/-s
+    # falling through to `default: return 1` (alignment.h:481-488) — we
+    # reject them with a message instead of silently; fit takes them for
+    # real; edit's broken "m:u:o:e" is fixed to take a (dead) -e value.
+    "global": "m:u:o:e:",
+    "local": "m:u:o:e:",
+    "fit": "m:u:o:e:j:s",
+    "overlap": "m:u:o:e:",
+    "edit": "m:u:o:e:",
+}
+
+
+def _usage() -> int:
+    sys.stderr.write(
+        "\n"
+        "Program: aligntools (TPU-native pairwise sequence alignment)\n"
+        f"Version: {__version__}\n\n"
+        "Usage:   aligntools <command> [options] <target.fa>\n\n"
+        "Command: global     global (Needleman-Wunsch) alignment, affine gap\n"
+        "         local      local (Smith-Waterman) alignment, affine gap\n"
+        "         fit        fit alignment, affine gap plus junction jump state\n"
+        "         overlap    overlap alignment\n"
+        "         edit       edit distance\n"
+        "\n"
+    )
+    return 1
+
+
+def _sub_usage(mode: str, p: AlignParams) -> int:
+    lines = [
+        "",
+        f"Usage:   aligntools {mode} [options] <target.fa>",
+        "",
+        f"Options: -m INT   score for a match [{p.match}]",
+        f"         -u INT   mismatch penalty [{p.mismatch}]",
+        f"         -o INT   gap open penalty [{p.gap_open}]",
+        f"         -e INT   gap extension penalty [{p.gap_extend}]",
+    ]
+    if mode == "fit":
+        lines += [
+            f"         -j INT   jump penalty [{p.jump}]",
+            "         -s       junction sites from 2nd record's comment",
+        ]
+    sys.stderr.write("\n".join(lines) + "\n\n")
+    return 1
+
+
+def _c_atoi(s: str) -> int:
+    from aligntools_tpu.io.fasta import c_atoi
+
+    return c_atoi(s.encode())
+
+
+def run_subcommand(mode: str, args: list[str]) -> int:
+    p = AlignParams()
+    try:
+        opts, rest = getopt.getopt(args, _OPTSTRINGS[mode])
+    except getopt.GetoptError as err:
+        sys.stderr.write(f"aligntools {mode}: {err}\n")
+        return 1
+    use_sites = False
+    for flag, val in opts:
+        if flag == "-m":
+            p = p.replace(match=_c_atoi(val))
+        elif flag == "-u":
+            p = p.replace(mismatch=_c_atoi(val))
+        elif flag == "-o":
+            p = p.replace(gap_open=_c_atoi(val))
+        elif flag == "-e":
+            p = p.replace(gap_extend=_c_atoi(val))
+        elif flag == "-j":
+            p = p.replace(jump=_c_atoi(val))
+        elif flag == "-s":
+            use_sites = True
+    if not rest:
+        return _sub_usage(mode, p)
+    path = rest[-1]
+    try:
+        result, pair = align_file(mode, path, p, use_sites)
+    except (OSError, ValueError, RuntimeError) as err:
+        sys.stderr.write(f"FATAL ERROR: {err}\n")
+        return 255  # the reference's die() -> exit(-1) (alignment.h:69-79)
+    out = sys.stdout
+    if mode == "edit":
+        out.write(f"edit_distance={result}\n")
+    elif mode == "overlap":
+        out.write(f"{result.score:.6f}\n")
+        out.write(result.row1.decode("latin-1") + "\n")
+        out.write(result.row2.decode("latin-1") + "\n")
+    else:
+        if mode == "fit" and use_sites and pair.comment2 is not None:
+            # junction echo line (alignment.h:249)
+            out.write(pair.comment2.decode("latin-1") + "\n")
+        out.write(f"score={result.score:.6f}\n")
+        out.write(result.row1.decode("latin-1") + "\n")
+        out.write(result.row2.decode("latin-1") + "\n")
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    argv = list(sys.argv if argv is None else argv)
+    if len(argv) < 2:
+        return _usage()
+    mode = argv[1]
+    if mode not in _OPTSTRINGS:
+        sys.stderr.write(f"[main] unrecognized command '{mode}'\n")
+        return 1
+    ret = run_subcommand(mode, argv[2:])
+    if ret == 0:
+        sys.stderr.write(f"[main] Version: {__version__}\n")
+        sys.stderr.write("[main] CMD: " + " ".join(argv) + "\n")
+    return ret
+
+
+if __name__ == "__main__":
+    sys.exit(main())
