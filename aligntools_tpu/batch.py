@@ -1,0 +1,206 @@
+"""Batched alignment: length-bucketed, padded, vmapped device execution.
+
+This is the throughput path the reference has no analog of (it processes one
+pair per process invocation, alignment.h:503-510): thousands of pairs are
+encoded int32, grouped into (m_bucket, n_bucket) shape buckets (powers of
+two, floored at the TPU tile quanta) so each bucket compiles once, vmapped
+over the batch dimension, and executed as one device program per bucket.
+Padding is mask-correct by construction: DP values flow only rightward/
+downward so padded rows/columns never feed real cells, and every per-mode
+extraction (final-cell gather, running argmax, bottom-row scans) masks to
+the pair's true (m, n) inside the kernel — verified by the padding-
+invariance tests (tests/test_batch.py).
+
+Pointer tensors (1 byte/cell) are only materialized when alignments are
+requested; score-only mode (``traceback=False``) skips them entirely for
+benchmark/scale runs. Host traceback walks each pair's pointer matrix
+(engine/traceback.py).
+
+Multi-device execution shards the batch axis of each bucket over the mesh
+(parallel/mesh.py wraps these same vmapped fills in shard_map).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from aligntools_tpu.engine import scan as _scan
+from aligntools_tpu.engine import traceback as tb
+from aligntools_tpu.params import AlignParams
+from aligntools_tpu.spec.engine import AlignResult
+
+
+def bucket_len(x: int, floor: int) -> int:
+    """Next power of two >= x, floored at the tile quantum."""
+    b = floor
+    while b < x:
+        b *= 2
+    return b
+
+
+@dataclasses.dataclass
+class _Bucket:
+    m_pad: int
+    n_pad: int
+    idx: list  # original positions
+    q: np.ndarray  # [B, m_pad] int32
+    t: np.ndarray  # [B, n_pad] int32
+    m: np.ndarray  # [B] int32
+    n: np.ndarray  # [B] int32
+    allowed: np.ndarray | None = None  # [B, n_pad] bool (fit -s)
+
+
+def _bucketize(pairs, sites_list, m_floor=64, n_floor=128):
+    buckets: dict[tuple[int, int], _Bucket] = {}
+    for k, (q, t) in enumerate(pairs):
+        key = (bucket_len(len(q), m_floor), bucket_len(len(t), n_floor))
+        b = buckets.get(key)
+        if b is None:
+            b = buckets[key] = _Bucket(key[0], key[1], [], None, None, None, None)
+        b.idx.append(k)
+    for b in buckets.values():
+        B = len(b.idx)
+        b.q = np.full((B, b.m_pad), -1, dtype=np.int32)
+        b.t = np.full((B, b.n_pad), -2, dtype=np.int32)
+        b.m = np.zeros(B, dtype=np.int32)
+        b.n = np.zeros(B, dtype=np.int32)
+        if sites_list is not None:
+            b.allowed = np.ones((B, b.n_pad), dtype=bool)
+        for r, k in enumerate(b.idx):
+            q, t = pairs[k]
+            b.q[r, : len(q)] = np.frombuffer(q, dtype=np.uint8)
+            b.t[r, : len(t)] = np.frombuffer(t, dtype=np.uint8)
+            b.m[r], b.n[r] = len(q), len(t)
+            if sites_list is not None and sites_list[k] is not None:
+                s = np.asarray(
+                    [x for x in sites_list[k] if 0 <= x < b.n_pad], dtype=np.int64
+                )
+                b.allowed[r, s] = False
+    return buckets
+
+
+# vmapped fills: batch over (q, t, n, params); n_pad / flags static.
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def _vfill(qs, ts, mode, n_pad, emit_ptrs, ns, ps):
+    fill = {
+        "global": _scan.global_fill,
+        "local": _scan.local_fill,
+        "overlap": _scan.overlap_fill,
+        "edit": _scan.edit_fill,
+    }[mode]
+    if mode == "edit":
+        return jax.vmap(lambda q, t, n, p: fill(q, t, n, p, n_pad))(qs, ts, ns, ps)
+    return jax.vmap(lambda q, t, n, p: fill(q, t, n, p, n_pad, emit_ptrs))(
+        qs, ts, ns, ps
+    )
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4, 5))
+def _vfill_fit(qs, ts, allowed, n_pad, use_jump, emit_ptrs, ns, ps):
+    return jax.vmap(
+        lambda q, t, a, n, p: _scan.fit_fill(
+            q, t, n, p, a, n_pad, use_jump, emit_ptrs
+        )
+    )(qs, ts, allowed, ns, ps)
+
+
+def _params_mat(p: AlignParams, ms: np.ndarray) -> jnp.ndarray:
+    out = np.tile(
+        np.array(
+            [p.match, p.mismatch, p.gap_open, p.gap_extend, p.jump, 0],
+            dtype=np.float32,
+        ),
+        (len(ms), 1),
+    )
+    out[:, 5] = ms
+    return jnp.asarray(out)
+
+
+def align_batch(
+    mode: str,
+    pairs: Sequence[tuple[bytes, bytes]],
+    params: AlignParams = AlignParams(),
+    sites_list: Sequence[Sequence[int] | None] | None = None,
+    traceback: bool = True,
+):
+    """Align many pairs. Returns a list parallel to ``pairs``:
+    AlignResult per pair (int for mode='edit'); with ``traceback=False``,
+    AlignResults carry empty rows (score-only, no pointer tensors)."""
+    if mode == "fit":
+        for q, t in pairs:
+            if len(q) > len(t):
+                raise ValueError("first sequence must be shorter than the second")
+    use_jump = sites_list is not None
+    buckets = _bucketize(pairs, sites_list if use_jump else None)
+    results: list = [None] * len(pairs)
+    for b in buckets.values():
+        ps = _params_mat(params, b.m)
+        ns = jnp.asarray(b.n)
+        qs, ts = jnp.asarray(b.q), jnp.asarray(b.t)
+        if mode == "edit":
+            vals = np.asarray(_vfill(qs, ts, mode, b.n_pad, False, ns, ps))
+            for r, k in enumerate(b.idx):
+                results[k] = int(vals[r])
+            continue
+        if mode == "fit":
+            allowed = jnp.asarray(
+                b.allowed
+                if b.allowed is not None
+                else np.ones((len(b.idx), b.n_pad), dtype=bool)
+            )
+            out = _vfill_fit(qs, ts, allowed, b.n_pad, use_jump, traceback, ns, ps)
+        else:
+            out = _vfill(qs, ts, mode, b.n_pad, traceback, ns, ps)
+        out = jax.tree.map(np.asarray, out)
+        for r, k in enumerate(b.idx):
+            q, t = pairs[k]
+            m, n = len(q), len(t)
+            if mode == "global":
+                score, state, ptrs = out[0][r], out[1][r], out[2]
+                if traceback:
+                    r1, r2 = tb.traceback_global(q, t, ptrs[r], int(state), m, n)
+                else:
+                    r1 = r2 = b""
+            elif mode == "local":
+                score, imax, jmax, ptrs = out[0][r], out[1][r], out[2][r], out[3]
+                if traceback:
+                    r1, r2 = tb.traceback_local(q, t, ptrs[r], int(imax), int(jmax))
+                else:
+                    r1 = r2 = b""
+            elif mode == "fit":
+                score, state, jmax, ptrs = out[0][r], out[1][r], out[2][r], out[3]
+                if traceback:
+                    if not np.isfinite(float(score)):
+                        raise RuntimeError(
+                            "fit: no finite traceback start (reference UB)"
+                        )
+                    r1, r2 = tb.traceback_fit(q, t, ptrs[r], int(state), m, int(jmax))
+                else:
+                    r1 = r2 = b""
+            else:  # overlap
+                score, jmax, ptrs = out[0][r], out[1][r], out[2]
+                if traceback:
+                    r1, r2 = tb.traceback_overlap(q, t, ptrs[r], m, int(jmax))
+                else:
+                    r1 = r2 = b""
+            results[k] = AlignResult(float(score), r1, r2)
+    return results
+
+
+def batch_scores(
+    mode: str,
+    pairs: Sequence[tuple[bytes, bytes]],
+    params: AlignParams = AlignParams(),
+    sites_list=None,
+) -> np.ndarray:
+    """Score-only fast path; returns float64 scores (int values for edit)."""
+    res = align_batch(mode, pairs, params, sites_list, traceback=False)
+    if mode == "edit":
+        return np.asarray(res, dtype=np.int64)
+    return np.asarray([r.score for r in res])

@@ -131,8 +131,8 @@ def _sub_row(qc, t_arr, match, mismatch):
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnums=(4,))
-def global_fill(q_arr, t_arr, n, params, n_pad):
+@functools.partial(jax.jit, static_argnums=(4, 5))
+def global_fill(q_arr, t_arr, n, params, n_pad, emit_ptrs=True):
     """Fill the global-mode DP; returns (score, start_state 0/1/2=L/M/U,
     packed pointers [m_pad, n_pad+1]).
 
@@ -163,8 +163,11 @@ def global_fill(q_arr, t_arr, n, params, n_pad):
         lv, plbit = _l_step(lp[1:], mp[1:], o, e)
         l_row = jnp.concatenate([jnp.array([o]) + e * i, lv])
         u_row, pubit = _u_scan(m_row, NEG, o, e, jidx)
-        packed = (pm | plbit | pubit).astype(jnp.uint8)
-        packed = jnp.concatenate([jnp.zeros(1, jnp.uint8), packed])
+        if emit_ptrs:
+            packed = (pm | plbit | pubit).astype(jnp.uint8)
+            packed = jnp.concatenate([jnp.zeros(1, jnp.uint8), packed])
+        else:
+            packed = None
         # Latch the (L,M,U) values at (m, n) when this is row m.
         here = jnp.stack([l_row[n], m_row[n], u_row[n]])
         fin = jnp.where(i == m, here, fin)
@@ -186,8 +189,8 @@ def global_fill(q_arr, t_arr, n, params, n_pad):
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnums=(4,))
-def local_fill(q_arr, t_arr, n, params, n_pad):
+@functools.partial(jax.jit, static_argnums=(4, 5))
+def local_fill(q_arr, t_arr, n, params, n_pad, emit_ptrs=True):
     """Local mode: calloc-zero borders (NOT -inf; alignment.h:805-847), M
     floored by a 0.0 HOME candidate (arg order L,M,U,0 at :825), running
     strictly-greater argmax of M in row-major fill order (:830-833).
@@ -216,8 +219,11 @@ def local_fill(q_arr, t_arr, n, params, n_pad):
         lv, plbit = _l_step(lp[1:], mp[1:], o, e)
         l_row = jnp.concatenate([jnp.zeros(1), lv])
         u_row, pubit = _u_scan(m_row, 0.0, o, e, jidx)
-        packed = (pm | plbit | pubit).astype(jnp.uint8)
-        packed = jnp.concatenate([jnp.zeros(1, jnp.uint8), packed])
+        if emit_ptrs:
+            packed = (pm | plbit | pubit).astype(jnp.uint8)
+            packed = jnp.concatenate([jnp.zeros(1, jnp.uint8), packed])
+        else:
+            packed = None
         # Running argmax over REAL cells only (i<=m, 1<=j<=n), row-major,
         # strictly greater (alignment.h:830-833).
         masked = jnp.where(col_real, m_row, NEG)
@@ -241,8 +247,8 @@ def local_fill(q_arr, t_arr, n, params, n_pad):
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnums=(5, 6))
-def fit_fill(q_arr, t_arr, n, params, entry_allowed, n_pad, use_jump):
+@functools.partial(jax.jit, static_argnums=(5, 6, 7))
+def fit_fill(q_arr, t_arr, n, params, entry_allowed, n_pad, use_jump, emit_ptrs=True):
     """Fit mode. Borders (alignment.h:612-624): col0 all -inf; row0 M=U=0,
     L=J=-inf (free target prefix). Traceback start (:672-690): scan row m
     over columns j in [0, n-1] (LAST COLUMN EXCLUDED), M first then L with
@@ -281,8 +287,11 @@ def fit_fill(q_arr, t_arr, n, params, entry_allowed, n_pad, use_jump):
             j_row, pjbit = _j_scan(m_row, entry_allowed, jp)
         else:
             j_row, pjbit = jprow, jnp.zeros(n_pad, jnp.uint8)
-        packed = (pm | plbit | pubit | pjbit).astype(jnp.uint8)
-        packed = jnp.concatenate([jnp.zeros(1, jnp.uint8), packed])
+        if emit_ptrs:
+            packed = (pm | plbit | pubit | pjbit).astype(jnp.uint8)
+            packed = jnp.concatenate([jnp.zeros(1, jnp.uint8), packed])
+        else:
+            packed = None
         latchM = jnp.where(i == m, m_row, latchM)
         latchL = jnp.where(i == m, l_row, latchL)
         return (m_row, l_row, u_row, j_row, latchM, latchL, i), packed
@@ -310,8 +319,8 @@ def fit_fill(q_arr, t_arr, n, params, entry_allowed, n_pad, use_jump):
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnums=(4,))
-def overlap_fill(q_arr, t_arr, n, params, n_pad):
+@functools.partial(jax.jit, static_argnums=(4, 5))
+def overlap_fill(q_arr, t_arr, n, params, n_pad, emit_ptrs=True):
     """Overlap mode: one matrix, LINEAR gap (``-e`` dead: alignment.h:944),
     init row0=-inf THEN col0=0 so M(0,0)=0 (:937-938). In-row LEFT chain
     resolved by a max-plus scan with slope o. Start scan: row m over
@@ -341,8 +350,11 @@ def overlap_fill(q_arr, t_arr, n, params, n_pad):
             jnp.uint8(PK_OV_LEFT),
             jnp.where(diag >= right, jnp.uint8(PK_OV_DIAG), jnp.uint8(PK_OV_RIGHT)),
         )
-        code = jnp.where(val > NEG, code, jnp.uint8(PK_OV_UNSET))
-        packed = jnp.concatenate([jnp.zeros(1, jnp.uint8), code])
+        if emit_ptrs:
+            code = jnp.where(val > NEG, code, jnp.uint8(PK_OV_UNSET))
+            packed = jnp.concatenate([jnp.zeros(1, jnp.uint8), code])
+        else:
+            packed = None
         latch = jnp.where(i == m, m_row, latch)
         return (m_row, latch, i), packed
 

@@ -1,0 +1,92 @@
+"""Batched path: parity with the spec oracle + padding/bucketing invariance.
+
+Padding must not perturb scores, argmax rows, or tie-breaks (SURVEY.md §7
+hard parts): each pair's result must be identical whether aligned alone or
+inside a mixed-length batch that pads it into a larger bucket."""
+
+import numpy as np
+import pytest
+
+from aligntools_tpu.batch import align_batch, batch_scores
+from aligntools_tpu.params import AlignParams
+from aligntools_tpu.spec import engine as spec
+
+ALPHA = b"ACGT"
+
+
+def _rand_pairs(rng, count, qlo, qhi, tlo, thi):
+    out = []
+    for _ in range(count):
+        q = bytes(rng.choice(list(ALPHA), int(rng.integers(qlo, qhi))).tolist())
+        t = bytes(rng.choice(list(ALPHA), int(rng.integers(tlo, thi))).tolist())
+        out.append((q, t))
+    return out
+
+
+@pytest.mark.parametrize("mode", ["global", "local", "overlap"])
+def test_batch_matches_spec(mode):
+    rng = np.random.default_rng(3)
+    pairs = _rand_pairs(rng, 24, 1, 70, 1, 300)  # spans several buckets
+    p = AlignParams(match=2, mismatch=-3, gap_open=-4, gap_extend=-1)
+    got = align_batch(mode, pairs, p)
+    fn = getattr(spec, f"spec_{mode}")
+    for k, (q, t) in enumerate(pairs):
+        want = fn(q, t, p)
+        assert got[k].score == want.score, (mode, k)
+        assert (got[k].row1, got[k].row2) == (want.row1, want.row2), (mode, k)
+
+
+def test_batch_fit_with_sites():
+    rng = np.random.default_rng(5)
+    pairs, sites = [], []
+    for _ in range(16):
+        q = bytes(rng.choice(list(ALPHA), int(rng.integers(1, 30))).tolist())
+        t = bytes(rng.choice(list(ALPHA), int(rng.integers(len(q), 200))).tolist())
+        pairs.append((q, t))
+        k = int(rng.integers(0, 5))
+        sites.append(sorted(int(x) for x in rng.integers(0, len(t), k)))
+    p = AlignParams()
+    got = align_batch("fit", pairs, p, sites_list=sites)
+    for k, (q, t) in enumerate(pairs):
+        want = spec.spec_fit(q, t, p, sites[k])
+        assert got[k].score == want.score, k
+        assert (got[k].row1, got[k].row2) == (want.row1, want.row2), k
+
+
+def test_batch_edit():
+    rng = np.random.default_rng(9)
+    pairs = _rand_pairs(rng, 12, 1, 100, 1, 100)
+    p = AlignParams(mismatch=1)
+    got = batch_scores("edit", pairs, p)
+    for k, (q, t) in enumerate(pairs):
+        assert got[k] == spec.spec_edit(q, t, p), k
+
+
+@pytest.mark.parametrize("mode", ["global", "local", "fit", "overlap"])
+def test_padding_invariance(mode):
+    """A pair's result is identical alone vs inside a mixed batch (which
+    places it in a larger padded bucket with other pairs)."""
+    rng = np.random.default_rng(13)
+    p = AlignParams()
+    q = bytes(rng.choice(list(ALPHA), 20).tolist())
+    t = bytes(rng.choice(list(ALPHA), 37).tolist())
+    solo = align_batch(mode, [(q, t)], p)[0]
+    # a large pair lands in its own bucket; same-bucket partners below check
+    # that co-batching (and the shared padded shapes) leave results identical
+    big_q = bytes(rng.choice(list(ALPHA), 300).tolist())
+    big_t = bytes(rng.choice(list(ALPHA), 900).tolist())
+    # same-bucket partners with different true lengths
+    q2 = bytes(rng.choice(list(ALPHA), 21).tolist())
+    t2 = bytes(rng.choice(list(ALPHA), 30).tolist())
+    mixed = align_batch(mode, [(q2, t2), (q, t), (big_q, big_t)], p)[1]
+    assert mixed.score == solo.score
+    assert (mixed.row1, mixed.row2) == (solo.row1, solo.row2)
+
+
+def test_score_only_matches():
+    rng = np.random.default_rng(17)
+    pairs = _rand_pairs(rng, 10, 1, 50, 1, 50)
+    p = AlignParams()
+    fast = batch_scores("global", pairs, p)
+    full = [r.score for r in align_batch("global", pairs, p)]
+    assert list(fast) == full
