@@ -1,0 +1,123 @@
+"""Multi-chip / multi-host execution: batch data-parallel sharding.
+
+The reference is strictly single-core (SURVEY.md §2.4); everything here is
+greenfield TPU-native design. The batch axis of each length bucket is
+sharded over the mesh's ``data`` axis with ``shard_map`` — each device runs
+the same vmapped row-scan fill on its local batch shard (zero cross-device
+traffic during the fill; DP cells of different pairs are independent), and
+one ``psum`` aggregates batch statistics over ICI. Scores land fully
+replicated via ``all_gather`` so host 0 owns printing, mirroring the
+reference's stdout contract.
+
+Multi-host: under ``jax.distributed`` the same mesh spans hosts (DCN
+between slices, ICI within); ``batch_scores_sharded`` only touches
+addressable shards, and the gather rides the mesh collectives.
+
+Sequence parallelism (one long pair sharded across chips) lives in
+parallel/seqpar.py.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from aligntools_tpu.engine import scan as _scan
+from aligntools_tpu.params import AlignParams
+
+
+def make_mesh(n_devices: int | None = None, axis: str = "data") -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.asarray(devs), (axis,))
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+def _sharded_fill(mode, n_pad, mesh, qs, ts, ns, ps):
+    """Score-only fill with the batch axis sharded over mesh('data').
+
+    Returns (scores [B] replicated, n_finite [] psum'd cell-count stat) —
+    the psum is the ICI collective that multi-host result aggregation
+    rides on.
+    """
+
+    def local(qs, ts, ns, ps):
+        if mode == "edit":
+            vals = jax.vmap(
+                lambda q, t, n, p: _scan.edit_fill(q, t, n, p, n_pad)
+            )(qs, ts, ns, ps)
+        else:
+            fill = {
+                "global": _scan.global_fill,
+                "local": _scan.local_fill,
+                "overlap": _scan.overlap_fill,
+            }[mode]
+            out = jax.vmap(
+                lambda q, t, n, p: fill(q, t, n, p, n_pad, False)
+            )(qs, ts, ns, ps)
+            vals = out[0]
+        total = jax.lax.psum(jnp.sum(jnp.isfinite(vals)), "data")
+        gathered = jax.lax.all_gather(vals, "data", tiled=True)
+        return gathered, total
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P("data"), P("data"), P("data"), P("data")),
+        out_specs=(P(), P()),
+        # the row-scan carries start from unvarying constants; disable the
+        # varying-manual-axes check rather than pcast-ing every border row
+        check_vma=False,
+    )(qs, ts, ns, ps)
+
+
+def batch_scores_sharded(
+    mode: str,
+    pairs: Sequence[tuple[bytes, bytes]],
+    params: AlignParams = AlignParams(),
+    mesh: Mesh | None = None,
+) -> np.ndarray:
+    """Data-parallel score-only batch over the mesh. Pads the batch count
+    to a multiple of the mesh size; all pairs share one shape bucket
+    (max-length padding) so every device executes the same program."""
+    from aligntools_tpu.batch import bucket_len
+
+    if mesh is None:
+        mesh = make_mesh()
+    d = mesh.devices.size
+    B = len(pairs)
+    m_pad = bucket_len(max(len(q) for q, _ in pairs), 64)
+    n_pad = bucket_len(max(len(t) for _, t in pairs), 128)
+    Bp = -(-B // d) * d
+    q = np.full((Bp, m_pad), -1, dtype=np.int32)
+    t = np.full((Bp, n_pad), -2, dtype=np.int32)
+    ms = np.zeros(Bp, dtype=np.int32)
+    ns = np.ones(Bp, dtype=np.int32)  # pad rows: n=1 keeps fills well-defined
+    for k, (qb, tb) in enumerate(pairs):
+        q[k, : len(qb)] = np.frombuffer(qb, dtype=np.uint8)
+        t[k, : len(tb)] = np.frombuffer(tb, dtype=np.uint8)
+        ms[k], ns[k] = len(qb), len(tb)
+    pmat = np.tile(
+        np.array(
+            [params.match, params.mismatch, params.gap_open,
+             params.gap_extend, params.jump, 0],
+            dtype=np.float32,
+        ),
+        (Bp, 1),
+    )
+    pmat[:, 5] = ms
+    shard = NamedSharding(mesh, P("data"))
+    args = [
+        jax.device_put(jnp.asarray(a), shard) for a in (q, t, ns, pmat)
+    ]
+    scores, _ = _sharded_fill(mode, n_pad, mesh, *args)
+    out = np.asarray(scores)[:B]
+    if mode == "edit":
+        return out.astype(np.int64)
+    return out

@@ -9,12 +9,22 @@ import os
 import subprocess
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-xla_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in xla_flags:
-    os.environ["XLA_FLAGS"] = (
-        xla_flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+# Force CPU with 8 virtual devices. The container presets
+# JAX_PLATFORMS=axon (the real-TPU tunnel) and its sitecustomize imports
+# jax at interpreter start — before conftest runs — so the env var is
+# already baked into jax.config; override via the config API instead
+# (backends are not initialized until first use, so this is still in
+# time). Set ALIGNTOOLS_TEST_TPU=1 to run the suite on the real chip.
+if not os.environ.get("ALIGNTOOLS_TEST_TPU"):
+    xla_flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in xla_flags:
+        os.environ["XLA_FLAGS"] = (
+            xla_flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
