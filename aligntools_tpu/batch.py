@@ -31,6 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from aligntools_tpu.engine import scan as _scan
+from aligntools_tpu.engine import select as _select
 from aligntools_tpu.engine import traceback as tb
 from aligntools_tpu.params import AlignParams
 from aligntools_tpu.spec.engine import AlignResult
@@ -122,12 +123,49 @@ def _params_mat(p: AlignParams, ms: np.ndarray) -> jnp.ndarray:
     return jnp.asarray(out)
 
 
+def _pallas_bucket_scores(mode, b, params: AlignParams, use_jump: bool):
+    """Score a bucket on the Pallas VMEM kernel (ops/pallas_scan.py).
+
+    Pads the bucket batch to a TILE_B multiple; interpret mode on CPU."""
+    import jax
+
+    from aligntools_tpu.ops import pallas_scan as pk
+
+    interpret = jax.default_backend() != "tpu"
+    B = len(b.idx)
+    Bp = -(-B // pk.TILE_B) * pk.TILE_B
+    qs = np.full((Bp, b.m_pad), -1, np.int32)
+    ts = np.full((Bp, b.n_pad), -2, np.int32)
+    qs[:B] = b.q
+    ts[:B] = b.t
+    ns = np.ones((Bp, 1), np.int32)
+    ms = np.ones((Bp, 1), np.int32)
+    ns[:B, 0] = b.n
+    ms[:B, 0] = b.m
+    pmat = np.zeros((1, 8), np.float32)
+    pmat[0, :5] = [params.match, params.mismatch, params.gap_open,
+                   params.gap_extend, params.jump]
+    args = tuple(jnp.asarray(a) for a in (qs, ts, ns, ms, pmat))
+    if mode == "fit":
+        allow = np.ones((Bp, b.n_pad), np.float32)
+        if b.allowed is not None:
+            allow[:B] = b.allowed.astype(np.float32)
+        out = pk.pallas_fit_scores(
+            use_jump, b.m_pad, b.n_pad, interpret,
+            args[0], args[1], jnp.asarray(allow), args[2], args[3], args[4],
+        )
+    else:
+        out = pk.pallas_scores(mode, b.m_pad, b.n_pad, interpret, *args)
+    return np.asarray(out)[:B]
+
+
 def align_batch(
     mode: str,
     pairs: Sequence[tuple[bytes, bytes]],
     params: AlignParams = AlignParams(),
     sites_list: Sequence[Sequence[int] | None] | None = None,
     traceback: bool = True,
+    engine: str = "auto",
 ):
     """Align many pairs. Returns a list parallel to ``pairs``:
     AlignResult per pair (int for mode='edit'); with ``traceback=False``,
@@ -140,6 +178,17 @@ def align_batch(
     buckets = _bucketize(pairs, sites_list if use_jump else None)
     results: list = [None] * len(pairs)
     for b in buckets.values():
+        if not traceback and engine != "xla" and (
+            engine == "pallas"
+            or _select.use_pallas(len(b.idx), b.m_pad, b.n_pad)
+        ):
+            vals = _pallas_bucket_scores(mode, b, params, use_jump)
+            for r, k in enumerate(b.idx):
+                results[k] = (
+                    int(vals[r]) if mode == "edit"
+                    else AlignResult(float(vals[r]), b"", b"")
+                )
+            continue
         ps = _params_mat(params, b.m)
         ns = jnp.asarray(b.n)
         qs, ts = jnp.asarray(b.q), jnp.asarray(b.t)
@@ -198,9 +247,12 @@ def batch_scores(
     pairs: Sequence[tuple[bytes, bytes]],
     params: AlignParams = AlignParams(),
     sites_list=None,
+    engine: str = "auto",
 ) -> np.ndarray:
     """Score-only fast path; returns float64 scores (int values for edit)."""
-    res = align_batch(mode, pairs, params, sites_list, traceback=False)
+    res = align_batch(
+        mode, pairs, params, sites_list, traceback=False, engine=engine
+    )
     if mode == "edit":
         return np.asarray(res, dtype=np.int64)
     return np.asarray([r.score for r in res])

@@ -90,3 +90,29 @@ def test_score_only_matches():
     fast = batch_scores("global", pairs, p)
     full = [r.score for r in align_batch("global", pairs, p)]
     assert list(fast) == full
+
+
+@pytest.mark.parametrize("mode", ["global", "local", "overlap", "edit"])
+def test_pallas_engine_matches(mode):
+    """Pallas kernels (interpret mode on CPU) vs the XLA scan engine."""
+    rng = np.random.default_rng(31)
+    pairs = _rand_pairs(rng, 10, 1, 60, 1, 150)
+    p = AlignParams(match=2, mismatch=-3, gap_open=-4, gap_extend=-1)
+    got = batch_scores(mode, pairs, p, engine="pallas")
+    want = batch_scores(mode, pairs, p, engine="xla")
+    assert np.array_equal(got, want)
+
+
+def test_pallas_engine_fit():
+    rng = np.random.default_rng(33)
+    pairs, sites = [], []
+    for _ in range(9):
+        q = bytes(rng.choice(list(ALPHA), int(rng.integers(1, 30))).tolist())
+        t = bytes(rng.choice(list(ALPHA), int(rng.integers(len(q), 160))).tolist())
+        pairs.append((q, t))
+        sites.append(sorted(int(x) for x in rng.integers(0, len(t), 3)))
+    p = AlignParams()
+    for sl in (sites, None):
+        got = batch_scores("fit", pairs, p, sites_list=sl, engine="pallas")
+        want = batch_scores("fit", pairs, p, sites_list=sl, engine="xla")
+        assert np.array_equal(got, want), sl is None
