@@ -1,20 +1,23 @@
 """Engine selection: route each shape bucket to the fastest exact engine.
 
-Measured on TPU v5e (amortized device time, tunnel latency removed;
-local/SW-affine score-only, B=256 pairs):
+Measured on TPU v5e (amortized device time — K fills chained on-device to
+cancel the 30-90 ms axon tunnel latency; local/SW-affine score-only):
 
-  | n_pad | XLA lax.scan engine | Pallas VMEM kernel |
-  |-------|---------------------|--------------------|
-  | 1024  | 40 GCUPS            | 10 GCUPS           |
-  | 2048  | 50 GCUPS            | 17 GCUPS           |
-  | 8192  | 4.4 GCUPS (spill)   | 36 GCUPS           |
+  | n_pad  | batch | XLA lax.scan engine | Pallas VMEM kernel |
+  |--------|-------|---------------------|--------------------|
+  | 1024   | 256   | 48.7 GCUPS          |  9.2 GCUPS         |
+  | 2048   |  64   |  1.2 GCUPS          | 16.9 GCUPS         |
+  | 2048   | 256   | 51.6 GCUPS          | 17.0 GCUPS         |
+  | 4096   | 128   | 41.7 GCUPS          | 28.8 GCUPS         |
+  | 8192   | 32-64 |  4.4 GCUPS          | 36.2 GCUPS         |
+  | 16384  |  16   |  3.6 GCUPS          | 36.1 GCUPS         |
 
-The XLA engine keeps its (B, n_pad) carry rows fused in VMEM up to about
-n_pad*B*4states*4B ~ 8 MB and then falls off a bandwidth cliff; the Pallas
-kernel is VMEM-resident by construction at any length (its cost is the
-log2(n) Hillis-Steele passes of the in-row max-plus scan). Crossover is
-around n_pad ~ 4k for full batches, so ``auto`` routes on the carry
-working-set size.
+The XLA engine's fused-carry regime holds only for large batches at
+moderate row widths (empirically batch >= 128 AND n_pad <= 4096); outside
+it the carries spill to HBM and throughput collapses ~10-40x. The Pallas
+kernel is VMEM-resident by construction and rises to a steady ~36 GCUPS
+as the per-row fixed overheads amortize (its asymptotic cost is the
+log2(n) Hillis-Steele passes of the in-row max-plus scan).
 
 Score-only paths route freely; pointer-emitting fills stay on the XLA
 engine until the DMA-staged pointer kernel lands.
@@ -24,13 +27,14 @@ from __future__ import annotations
 
 import jax
 
-# 4 f32 state rows per pair in the scan engine's carry.
-_XLA_CARRY_BYTES_MAX = 8 * 1024 * 1024
+# Pallas kernel VMEM budget: 4-5 carry rows + temps per 8-pair tile.
+PALLAS_MAX_N_PAD = 65536
 
 
 def use_pallas(batch: int, m_pad: int, n_pad: int) -> bool:
     """True if the Pallas kernel is the faster engine for this bucket."""
     if jax.default_backend() != "tpu":
         return False  # interpret-mode Pallas is only for tests
-    carry = batch * (n_pad + 1) * 4 * 4
-    return carry > _XLA_CARRY_BYTES_MAX
+    if n_pad > PALLAS_MAX_N_PAD:
+        return False  # needs the column-blocked streaming kernel
+    return not (batch >= 128 and n_pad <= 4096)

@@ -4,16 +4,25 @@ Prints ONE JSON line:
   {"metric": "sw_affine_gcups", "value": N, "unit": "GCUPS",
    "vs_baseline": R, ...}
 
+Timing methodology: the axon TPU tunnel adds 30-90 ms of per-call latency
+(even a jitted elementwise add costs ~75 ms end-to-end), so a single fill
+cannot be timed honestly. The benchmark chains K fills on-device inside one
+jitted fori_loop with a serial data dependency (scores fed back into the
+query tensor as zeros) and reports (T(K2) - T(K1)) / (K2 - K1), which
+cancels the constant tunnel/dispatch overhead exactly.
+
 ``vs_baseline`` is measured live: the reference C binary
 (r3fang/alignTools.C, compiled -O2 from the read-only checkout) timed on
 one pair of the same shape on this host's CPU — the reference is strictly
 single-core scalar code (SURVEY.md §2.4), so this is its true throughput.
 
-Workload: B x (m=1024, n=1024) random DNA pairs, local (SW) mode, affine
-gaps, score-only (no pointer emission) — the GCUPS configuration named in
-BASELINE.json. Cell count = B * m * n per step.
+Workload: B x (m=n=2048) random DNA pairs, local (SW) mode, affine gaps,
+score-only — the GCUPS configuration named in BASELINE.json. The engine is
+the hybrid auto-selection (engine/select.py): XLA scan engine at this
+shape; set BENCH_ENGINE=pallas to pin the Pallas kernel.
 """
 
+import functools
 import json
 import os
 import subprocess
@@ -58,38 +67,67 @@ def main():
     import jax.numpy as jnp
 
     from aligntools_tpu.engine.scan import local_fill
+    from aligntools_tpu.engine.select import use_pallas
+    from aligntools_tpu.ops.pallas_scan import pallas_scores
 
     B = int(os.environ.get("BENCH_BATCH", "256"))
     m_pad = n_pad = int(os.environ.get("BENCH_LEN", "2048"))
-    iters = int(os.environ.get("BENCH_ITERS", "5"))
+    eng = os.environ.get("BENCH_ENGINE", "auto")
+    if eng == "auto":
+        eng = "pallas" if use_pallas(B, m_pad, n_pad) else "xla"
 
     rng = np.random.default_rng(0)
     alpha = np.frombuffer(b"ACGT", dtype=np.uint8)
     qs = rng.choice(alpha, (B, m_pad)).astype(np.int32)
     ts = rng.choice(alpha, (B, n_pad)).astype(np.int32)
-    ns = np.full(B, n_pad, dtype=np.int32)
-    ps = np.tile(np.array([1, -2, -5, -1, -10, 0], np.float32), (B, 1))
-    ps[:, 5] = m_pad
 
-    fwd = jax.jit(
-        lambda qs, ts, ns, ps: jax.vmap(
-            lambda q, t, n, p: local_fill(q, t, n, p, n_pad, False)
-        )(qs, ts, ns, ps)[0]
-    )
-    args = tuple(jnp.asarray(a) for a in (qs, ts, ns, ps))
-    np.asarray(fwd(*args))  # compile + warm
-    # NOTE: time to a host materialization, not block_until_ready() — under
-    # the axon TPU tunnel block_until_ready can return before execution
-    # finishes, which inflates GCUPS ~50x. Transferring B floats is
-    # negligible next to the fill.
-    best = float("inf")
-    for _ in range(iters):
-        t0 = time.perf_counter()
-        np.asarray(fwd(*args))
-        best = min(best, time.perf_counter() - t0)
+    if eng == "pallas":
+        ns = np.full((B, 1), n_pad, np.int32)
+        ms = np.full((B, 1), m_pad, np.int32)
+        pm = np.zeros((1, 8), np.float32)
+        pm[0, :5] = [1, -2, -5, -1, -10]
+        extra = tuple(jnp.asarray(a) for a in (ts, ns, ms, pm))
+
+        def one(qs):
+            return pallas_scores("local", m_pad, n_pad, False, qs, *extra)
+    else:
+        ns = np.full(B, n_pad, np.int32)
+        ps = np.zeros((B, 6), np.float32)
+        ps[:, :5] = [1, -2, -5, -1, -10]
+        ps[:, 5] = m_pad
+        extra = tuple(jnp.asarray(a) for a in (ts, ns, ps))
+
+        def one(qs):
+            return jax.vmap(
+                lambda q, t, n, p: local_fill(q, t, n, p, n_pad, False)
+            )(qs, *extra)[0]
+
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def run_k(K, qs):
+        def body(k, carry):
+            acc, qs = carry
+            sc = one(qs)
+            return acc + sc, qs + (sc * 0).astype(qs.dtype)[:, None]
+
+        acc, _ = jax.lax.fori_loop(0, K, body, (jnp.zeros(qs.shape[0]), qs))
+        return acc
+
+    qs_d = jnp.asarray(qs)
+
+    def timed(K, reps=3):
+        np.asarray(run_k(K, qs_d))
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            np.asarray(run_k(K, qs_d))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    K1, K2 = 1, 9
+    per_fill = (timed(K2) - timed(K1)) / (K2 - K1)
     cells = B * m_pad * n_pad
-    gcups = cells / best / 1e9
-    pairs_per_sec = B / best
+    gcups = cells / per_fill / 1e9
+    pairs_per_sec = B / per_fill
 
     ref_gcups = _measure_reference_gcups(
         bytes(rng.choice(alpha, m_pad).tolist()),
@@ -97,13 +135,14 @@ def main():
     )
     out = {
         "metric": "sw_affine_gcups",
-        "value": round(gcups, 3),
+        "value": round(gcups, 2),
         "unit": "GCUPS",
         "vs_baseline": round(gcups / ref_gcups, 1) if ref_gcups else None,
         "pairs_per_sec": round(pairs_per_sec, 1),
         "batch": B,
         "shape": [m_pad, n_pad],
-        "step_ms": round(best * 1e3, 3),
+        "fill_ms": round(per_fill * 1e3, 3),
+        "engine": eng,
         "reference_gcups": round(ref_gcups, 4) if ref_gcups else None,
         "backend": jax.devices()[0].platform,
         "device": str(jax.devices()[0].device_kind),
