@@ -23,6 +23,7 @@ the reference.
 from __future__ import annotations
 
 import getopt
+import os
 import sys
 
 from aligntools_tpu.api import align_file
@@ -129,7 +130,24 @@ def run_subcommand(mode: str, args: list[str]) -> int:
     return 0
 
 
+def _select_backend() -> None:
+    """Single-pair CLI runs default to the CPU backend: one pair cannot
+    saturate a TPU and the device tunnel adds seconds of dispatch/compile
+    latency, so CPU is strictly faster for the reference's one-pair-per-
+    invocation usage. Set ALIGNTOOLS_DEVICE=tpu (or any backend name) to
+    override — the batch pipeline (pipeline.py) targets the TPU by default.
+    """
+    want = os.environ.get("ALIGNTOOLS_DEVICE", "cpu")
+    try:
+        import jax
+
+        jax.config.update("jax_platforms", want)
+    except Exception:
+        pass  # unknown backend names surface on first jax use
+
+
 def main(argv: list[str] | None = None) -> int:
+    _select_backend()
     argv = list(sys.argv if argv is None else argv)
     if len(argv) < 2:
         return _usage()

@@ -110,6 +110,10 @@ def traceback_global(q, t, ptrs, start_state: int, m: int, n: int):
     """start_state: 0=L 1=M 2=U (the reference's final max5 over L,M,U at
     (m,n), alignment.h:466-469). Unconsumed prefixes padded with gaps,
     un-scored (:398-407)."""
+    from aligntools_tpu import native
+
+    if native.available():
+        return native.traceback_global_native(q, t, ptrs, start_state, m, n)
     state = (_LOW, _MID, _UPP)[start_state]
     r1, r2, i, j = _walk(q, t, ptrs, state, m, n, "both")
     while j > 0:
@@ -125,6 +129,10 @@ def traceback_global(q, t, ptrs, start_state: int, m: int, n: int):
 
 def traceback_local(q, t, ptrs, i_max: int, j_max: int):
     """Start in MID at the argmax cell (alignment.h:770)."""
+    from aligntools_tpu import native
+
+    if native.available():
+        return native.traceback_local_native(q, t, ptrs, i_max, j_max)
     if i_max == 0:
         return b"", b""
     r1, r2, _, _ = _walk(q, t, ptrs, _MID, i_max, j_max, "both")
@@ -134,6 +142,10 @@ def traceback_local(q, t, ptrs, i_max: int, j_max: int):
 def traceback_fit(q, t, ptrs, start_state: int, m: int, j_max: int):
     """start_state: 0=MID 1=LOW (bottom-row scan winner, alignment.h:676-690).
     Walk while i>0; remaining target prefix NOT emitted (:562)."""
+    from aligntools_tpu import native
+
+    if native.available():
+        return native.traceback_fit_native(q, t, ptrs, start_state, m, j_max)
     state = (_MID, _LOW)[start_state]
     r1, r2, _, _ = _walk(q, t, ptrs, state, m, j_max, "i")
     return bytes(reversed(r1)), bytes(reversed(r2))
@@ -142,6 +154,10 @@ def traceback_fit(q, t, ptrs, start_state: int, m: int, j_max: int):
 def traceback_overlap(q, t, ptrs, m: int, j_max: int):
     """Single-matrix walk while j>0 (alignment.h:896-922); unset pointer is
     the reference's infinite-loop hazard (:913-914) — we fail fast."""
+    from aligntools_tpu import native
+
+    if native.available():
+        return native.traceback_overlap_native(q, t, ptrs, m, j_max)
     r1, r2 = bytearray(), bytearray()
     i, j = m, j_max
     while j > 0:

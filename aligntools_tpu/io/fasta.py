@@ -19,8 +19,9 @@ Also implements the reference's pair-reading contract ``kstring_read``
 parsed from the SECOND record's comment as '|'-separated ints via ksplit
 (empty fields skipped — kstring.c:89-131) + C atoi semantics.
 
-A C++ native implementation of the same parser lives in native/kseq.cpp and
-is preferred at runtime when built (see aligntools_tpu.io.native).
+A C++ native implementation of the same parser (native/aligntools_native.cpp)
+is preferred at runtime when built (see aligntools_tpu.native); this module
+is the always-available fallback and its oracle.
 """
 
 from __future__ import annotations
@@ -59,6 +60,13 @@ def _split_header(line: bytes) -> tuple[bytes, bytes | None]:
 
 
 def read_records(path: str) -> Iterator[FastaRecord]:
+    from aligntools_tpu import native
+
+    if native.available():
+        recs = native.parse_records_native(path)
+        if recs is not None:
+            yield from recs
+            return
     with _open_maybe_gzip(path) as f:
         yield from parse_records(f)
 
