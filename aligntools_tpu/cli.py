@@ -54,6 +54,7 @@ def _usage() -> int:
         "         fit        fit alignment, affine gap plus junction jump state\n"
         "         overlap    overlap alignment\n"
         "         edit       edit distance\n"
+        "         batch      many-pair batched pipeline (TSV output)\n"
         "\n"
     )
     return 1
@@ -146,9 +147,74 @@ def _select_backend() -> None:
         pass  # unknown backend names surface on first jax use
 
 
+def run_batch(args: list[str]) -> int:
+    """``aligntools batch <mode> [options] <pairs.fa>`` — many-pair
+    throughput pipeline (records pair consecutively; TSV to stdout).
+    New surface (no reference analog); long options, argparse."""
+    import argparse
+
+    ap = argparse.ArgumentParser(
+        prog="aligntools batch",
+        description="Batched alignment of many pairs on TPU/CPU",
+    )
+    ap.add_argument("mode", choices=["global", "local", "fit", "overlap",
+                                     "edit"])
+    ap.add_argument("fasta", help="multi-record FASTA/Q (gz ok); records "
+                                  "pair up consecutively (q1,t1,q2,t2,...)")
+    ap.add_argument("-m", type=int, default=1, help="match score")
+    ap.add_argument("-u", type=int, default=-2, help="mismatch penalty")
+    ap.add_argument("-o", type=int, default=-5, help="gap open penalty")
+    ap.add_argument("-e", type=int, default=-1, help="gap extension penalty")
+    ap.add_argument("-j", type=int, default=-10, help="fit jump penalty")
+    ap.add_argument("-s", action="store_true",
+                    help="fit: junction sites from each target's comment")
+    ap.add_argument("--scores-only", action="store_true",
+                    help="skip traceback (fastest)")
+    ap.add_argument("--sharded", action="store_true",
+                    help="data-parallel over all devices (scores only)")
+    ap.add_argument("--chunk-size", type=int, default=512)
+    ap.add_argument("--resume", metavar="MANIFEST",
+                    help="chunk manifest for checkpoint/resume")
+    ap.add_argument("--trace", metavar="DIR",
+                    help="write a jax.profiler trace to DIR")
+    ap.add_argument("--engine", choices=["auto", "xla", "pallas"],
+                    default="auto")
+    ap.add_argument("--device", default=None,
+                    help="jax platform override (default: tpu if available)")
+    ns = ap.parse_args(args)
+    if ns.device:
+        os.environ["ALIGNTOOLS_DEVICE"] = ns.device
+        _select_backend()
+    from aligntools_tpu.params import AlignParams
+    from aligntools_tpu.pipeline import run_pipeline
+
+    p = AlignParams(match=ns.m, mismatch=ns.u, gap_open=ns.o,
+                    gap_extend=ns.e, jump=ns.j)
+    try:
+        counters = run_pipeline(
+            ns.mode, ns.fasta, p, use_sites=ns.s,
+            scores_only=ns.scores_only, sharded=ns.sharded,
+            chunk_size=ns.chunk_size, manifest_path=ns.resume,
+            trace_dir=ns.trace, engine=ns.engine,
+        )
+    except (OSError, ValueError, RuntimeError) as err:
+        sys.stderr.write(f"FATAL ERROR: {err}\n")
+        return 255
+    counters.report()
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
-    _select_backend()
     argv = list(sys.argv if argv is None else argv)
+    if len(argv) >= 2 and argv[1] == "batch":
+        # batch targets the device by default (only surface that does)
+        if "--device" not in argv:
+            os.environ.setdefault("ALIGNTOOLS_DEVICE",
+                                  os.environ.get("ALIGNTOOLS_DEVICE", ""))
+        if os.environ.get("ALIGNTOOLS_DEVICE"):
+            _select_backend()
+        return run_batch(argv[2:])
+    _select_backend()
     if len(argv) < 2:
         return _usage()
     mode = argv[1]

@@ -1,0 +1,132 @@
+"""Batch pipeline: many-pair FASTA -> bucketed device batches -> TSV results.
+
+The throughput surface the reference lacks entirely (it processes exactly
+one pair per process, alignment.h:217-262): a multi-record FASTA/Q (gz ok)
+is read with the native parser, consecutive records pair up (q1,t1,q2,t2,
+...), pairs are aligned in chunks on the device (batch.py bucketing +
+hybrid engine routing; optionally dp-sharded over a mesh), and results
+stream out as TSV:
+
+    name1  name2  score  [row1  row2]
+
+Aux subsystems (SURVEY.md §5 equivalents, all new):
+  * checkpoint/resume — chunk manifest (utils/checkpoint.py), chunk-atomic
+    output appends;
+  * observability — GCUPS/pairs-per-sec counters and optional
+    jax.profiler trace (utils/profiling.py);
+  * fit junction support — per-pair sites parsed from each target
+    record's header comment, as the reference's ``-s`` does for its one
+    pair (alignment.h:243-256).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+from typing import Sequence
+
+from aligntools_tpu.io.fasta import parse_junctions, read_records
+from aligntools_tpu.params import AlignParams
+from aligntools_tpu.utils.checkpoint import Manifest
+from aligntools_tpu.utils.profiling import Counters, device_trace, stopwatch
+
+
+def read_pair_records(path: str):
+    """All records; consecutive records pair (q, t). Odd counts are an
+    error (a dangling query with no target)."""
+    records = list(read_records(path))
+    if len(records) % 2:
+        raise ValueError(
+            f"{path}: {len(records)} records — batch input must pair up "
+            f"(query, target) consecutively"
+        )
+    return [(records[i], records[i + 1]) for i in range(0, len(records), 2)]
+
+
+def run_pipeline(
+    mode: str,
+    path: str,
+    params: AlignParams = AlignParams(),
+    *,
+    use_sites: bool = False,
+    scores_only: bool = False,
+    sharded: bool = False,
+    chunk_size: int = 512,
+    manifest_path: str | None = None,
+    out=None,
+    trace_dir: str | None = None,
+    engine: str = "auto",
+) -> Counters:
+    """Align every pair in ``path``; returns run counters."""
+    from aligntools_tpu.batch import align_batch, batch_scores
+
+    out = out or sys.stdout
+    counters = Counters()
+    with stopwatch(counters, "io_seconds"):
+        rec_pairs = read_pair_records(path)
+    if mode != "fit" and use_sites:
+        raise ValueError("junction sites are only meaningful in fit mode")
+
+    manifest = None
+    if manifest_path:
+        manifest = Manifest.load_or_create(
+            manifest_path, os.path.abspath(path), mode, chunk_size,
+            len(rec_pairs),
+        )
+
+    chunks = [
+        rec_pairs[i : i + chunk_size]
+        for i in range(0, len(rec_pairs), chunk_size)
+    ]
+    with device_trace(trace_dir):
+        for ci, chunk in enumerate(chunks):
+            if manifest and manifest.is_done(ci):
+                continue
+            pairs = [(a.seq, b.seq) for a, b in chunk]
+            sites_list = None
+            if use_sites:
+                sites_list = [
+                    parse_junctions(b.comment) if b.comment else []
+                    for _, b in chunk
+                ]
+            lines = []
+            with stopwatch(counters, "seconds"):
+                if sharded:
+                    from aligntools_tpu.parallel.mesh import (
+                        batch_scores_sharded,
+                    )
+
+                    vals = batch_scores_sharded(mode, pairs, params)
+                    results = list(vals)
+                elif mode == "edit" or scores_only:
+                    results = list(
+                        batch_scores(
+                            mode, pairs, params, sites_list, engine=engine
+                        )
+                    )
+                else:
+                    results = align_batch(
+                        mode, pairs, params, sites_list, traceback=True
+                    )
+            for k, ((a, b), r) in enumerate(zip(chunk, results)):
+                name1 = a.name.decode("latin-1")
+                name2 = b.name.decode("latin-1")
+                if mode == "edit":
+                    lines.append(f"{name1}\t{name2}\t{int(r)}")
+                elif scores_only or sharded:
+                    score = r if isinstance(r, float) else float(r)
+                    lines.append(f"{name1}\t{name2}\t{score:.6f}")
+                else:
+                    lines.append(
+                        f"{name1}\t{name2}\t{r.score:.6f}\t"
+                        f"{r.row1.decode('latin-1')}\t"
+                        f"{r.row2.decode('latin-1')}"
+                    )
+                counters.pairs += 1
+                counters.cells += len(pairs[k][0]) * len(pairs[k][1])
+            out.write("\n".join(lines) + "\n")
+            if hasattr(out, "flush"):
+                out.flush()
+            if manifest:
+                manifest.mark_done(ci)
+    return counters

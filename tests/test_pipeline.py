@@ -1,0 +1,114 @@
+"""Batch pipeline + `aligntools batch` CLI: TSV output parity with the spec
+oracle, checkpoint/resume, error paths."""
+
+import io
+
+import numpy as np
+import pytest
+
+from aligntools_tpu.cli import main
+from aligntools_tpu.params import AlignParams
+from aligntools_tpu.pipeline import run_pipeline
+from aligntools_tpu.spec import engine as spec
+
+ALPHA = list(b"ACGT")
+
+
+def _make_fasta(tmp_path, n_pairs, seed=0, sites=False, name="pairs.fa"):
+    rng = np.random.default_rng(seed)
+    lines = []
+    pairs = []
+    site_lists = []
+    for k in range(n_pairs):
+        q = bytes(rng.choice(ALPHA, int(rng.integers(5, 60))).tolist())
+        t = bytes(rng.choice(ALPHA, int(rng.integers(len(q), 150))).tolist())
+        pairs.append((q, t))
+        lines.append(f">q{k}\n{q.decode()}")
+        if sites:
+            sl = sorted(int(x) for x in rng.integers(0, len(t), 3))
+            site_lists.append(sl)
+            lines.append(f">t{k} {'|'.join(map(str, sl))}\n{t.decode()}")
+        else:
+            site_lists.append(None)
+            lines.append(f">t{k}\n{t.decode()}")
+    path = tmp_path / name
+    path.write_text("\n".join(lines) + "\n")
+    return str(path), pairs, site_lists
+
+
+def test_pipeline_global_rows(tmp_path):
+    path, pairs, _ = _make_fasta(tmp_path, 7)
+    buf = io.StringIO()
+    p = AlignParams()
+    c = run_pipeline("global", path, p, out=buf, chunk_size=3)
+    lines = buf.getvalue().strip().splitlines()
+    assert len(lines) == 7 and c.pairs == 7
+    for k, ln in enumerate(lines):
+        name1, name2, score, r1, r2 = ln.split("\t")
+        want = spec.spec_global(*pairs[k], p)
+        assert (name1, name2) == (f"q{k}", f"t{k}")
+        assert float(score) == want.score
+        assert r1 == want.row1.decode() and r2 == want.row2.decode()
+
+
+def test_pipeline_fit_sites(tmp_path):
+    path, pairs, site_lists = _make_fasta(tmp_path, 5, seed=3, sites=True)
+    buf = io.StringIO()
+    p = AlignParams(match=2, mismatch=-2)
+    run_pipeline("fit", path, p, use_sites=True, out=buf)
+    lines = buf.getvalue().strip().splitlines()
+    for k, ln in enumerate(lines):
+        _, _, score, r1, r2 = ln.split("\t")
+        want = spec.spec_fit(*pairs[k], p, site_lists[k])
+        assert float(score) == want.score and r1 == want.row1.decode()
+
+
+def test_pipeline_resume(tmp_path):
+    path, pairs, _ = _make_fasta(tmp_path, 8, seed=5)
+    manifest = str(tmp_path / "m.json")
+    p = AlignParams()
+    buf1 = io.StringIO()
+    # first run completes chunks 0..3 (chunk_size=2 -> 4 chunks)
+    run_pipeline("edit", path, p, out=buf1, chunk_size=2,
+                 manifest_path=manifest)
+    assert len(buf1.getvalue().strip().splitlines()) == 8
+    # re-run: everything done -> no new output
+    buf2 = io.StringIO()
+    c = run_pipeline("edit", path, p, out=buf2, chunk_size=2,
+                     manifest_path=manifest)
+    assert buf2.getvalue() == "" and c.pairs == 0
+    # mismatched config errors
+    with pytest.raises(ValueError):
+        run_pipeline("edit", path, p, out=io.StringIO(), chunk_size=3,
+                     manifest_path=manifest)
+
+
+def test_pipeline_odd_records(tmp_path):
+    path = tmp_path / "odd.fa"
+    path.write_text(">a\nACGT\n>b\nGG\n>c\nTT\n")
+    with pytest.raises(ValueError):
+        run_pipeline("global", str(path), AlignParams(), out=io.StringIO())
+
+
+def test_batch_cli(tmp_path, capsys):
+    path, pairs, _ = _make_fasta(tmp_path, 4, seed=7)
+    rc = main(["aligntools", "batch", "local", "-m", "2", "--scores-only",
+               path])
+    cap = capsys.readouterr()
+    assert rc == 0
+    lines = cap.out.strip().splitlines()
+    p = AlignParams(match=2)
+    for k, ln in enumerate(lines):
+        assert float(ln.split("\t")[2]) == spec.spec_local(*pairs[k], p).score
+    assert "GCUPS" in cap.err
+
+
+def test_batch_cli_sharded(tmp_path, capsys):
+    path, pairs, _ = _make_fasta(tmp_path, 9, seed=9)
+    rc = main(["aligntools", "batch", "global", "--sharded", path])
+    cap = capsys.readouterr()
+    assert rc == 0
+    lines = cap.out.strip().splitlines()
+    p = AlignParams()
+    for k, ln in enumerate(lines):
+        assert float(ln.split("\t")[2]) == spec.spec_global(*pairs[k], p).score
