@@ -9,12 +9,17 @@ anti-diagonal wavefront kernels batched/sharded for TPU throughput.
 from aligntools_tpu.params import AlignParams, MODES
 from aligntools_tpu.version import __version__
 
-__all__ = ["AlignParams", "MODES", "__version__", "align_pair", "align_batch"]
+__all__ = ["AlignParams", "MODES", "__version__", "align_pair", "align_batch",
+           "batch_scores"]
 
 
 def __getattr__(name):  # lazy: keep `import aligntools_tpu` JAX-free
-    if name in ("align_pair", "align_batch"):
-        from aligntools_tpu import api
+    if name == "align_pair":
+        from aligntools_tpu.api import align_pair
 
-        return getattr(api, name)
+        return align_pair
+    if name in ("align_batch", "batch_scores"):
+        from aligntools_tpu import batch
+
+        return getattr(batch, name)
     raise AttributeError(name)
