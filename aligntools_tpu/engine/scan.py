@@ -54,6 +54,16 @@ import numpy as np
 
 NEG = -jnp.inf
 
+
+def _unroll() -> int:
+    """lax.scan unroll factor: 8 on TPU lifts the fill ~22% (50.7 -> 62
+    GCUPS at 256x2048x2048, measured amortized) by letting XLA overlap
+    independent work across consecutive rows; 1 on CPU keeps test compile
+    times sane."""
+    import jax as _jax
+
+    return 8 if _jax.default_backend() == "tpu" else 1
+
 # --- packed pointer-byte fields (see module docstring) ---
 PK_M_LOW, PK_M_MID, PK_M_UPP, PK_M_JUMP, PK_M_HOME, PK_M_UNSET = 0, 1, 2, 3, 4, 7
 PK_L_IS_MID = 1 << 3
@@ -176,7 +186,8 @@ def global_fill(q_arr, t_arr, n, params, n_pad, emit_ptrs=True):
     fin0 = jnp.stack([l0[n], m0[n], u0[n]])  # m == 0 degenerate
     init = (m0, l0, u0, fin0, jnp.int32(0))
     (_, _, _, fin, _), ptrs = jax.lax.scan(
-        step, init, (q_arr.astype(jnp.float32), jnp.zeros(q_arr.shape[0]))
+        step, init, (q_arr.astype(jnp.float32), jnp.zeros(q_arr.shape[0])),
+        unroll=_unroll(),
     )
     # Final tie order L, M, U (alignment.h:466-469).
     score = fin.max()
@@ -237,7 +248,8 @@ def local_fill(q_arr, t_arr, n, params, n_pad, emit_ptrs=True):
 
     init = (zero, zero, zero, NEG, jnp.int32(0), jnp.int32(0), jnp.int32(0))
     (_, _, _, best, imax, jmax, _), ptrs = jax.lax.scan(
-        step, init, (q_arr.astype(jnp.float32), jnp.zeros(q_arr.shape[0]))
+        step, init, (q_arr.astype(jnp.float32), jnp.zeros(q_arr.shape[0])),
+        unroll=_unroll(),
     )
     return best, imax, jmax, ptrs
 
@@ -298,7 +310,8 @@ def fit_fill(q_arr, t_arr, n, params, entry_allowed, n_pad, use_jump, emit_ptrs=
 
     init = (m0, l0, u0, j0, m0, l0, jnp.int32(0))
     (_, _, _, _, lastM, lastL, _), ptrs = jax.lax.scan(
-        step, init, (q_arr.astype(jnp.float32), jnp.zeros(q_arr.shape[0]))
+        step, init, (q_arr.astype(jnp.float32), jnp.zeros(q_arr.shape[0])),
+        unroll=_unroll(),
     )
     # Bottom-row scan over j in [0, n-1]; M beats L on ties (strict >).
     scan_mask = jnp.arange(n_pad + 1) < n
@@ -360,7 +373,8 @@ def overlap_fill(q_arr, t_arr, n, params, n_pad, emit_ptrs=True):
 
     init = (m0, m0, jnp.int32(0))
     (_, last, _), ptrs = jax.lax.scan(
-        step, init, (q_arr.astype(jnp.float32), jnp.zeros(q_arr.shape[0]))
+        step, init, (q_arr.astype(jnp.float32), jnp.zeros(q_arr.shape[0])),
+        unroll=_unroll(),
     )
     scan_mask = jnp.arange(n_pad + 1) < n
     row = jnp.where(scan_mask, last, NEG)
@@ -398,7 +412,8 @@ def edit_fill(q_arr, t_arr, n, params, n_pad):
 
     init = (row0, row0[n], jnp.int32(0))
     (_, latch, _), _ = jax.lax.scan(
-        step, init, (q_arr.astype(jnp.float32), jnp.zeros(q_arr.shape[0]))
+        step, init, (q_arr.astype(jnp.float32), jnp.zeros(q_arr.shape[0])),
+        unroll=_unroll(),
     )
     return latch
 
