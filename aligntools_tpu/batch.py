@@ -206,6 +206,45 @@ def align_batch(
             out = _vfill_fit(qs, ts, allowed, b.n_pad, use_jump, traceback, ns, ps)
         else:
             out = _vfill(qs, ts, mode, b.n_pad, traceback, ns, ps)
+        # On TPU, walk tracebacks on the device: pulling the pointer
+        # tensor through the host link costs ~25 s/GB in this environment
+        # (0.04 GB/s measured); the device walk transfers only the rows.
+        use_device_tb = traceback and jax.default_backend() == "tpu"
+        if use_device_tb and mode in ("global", "local", "fit", "overlap"):
+            from aligntools_tpu.engine import device_tb
+
+            bpairs = [pairs[k] for k in b.idx]
+            if mode == "global":
+                starts = [
+                    (int(out[1][r]), b.m[r], b.n[r])
+                    for r in range(len(b.idx))
+                ]
+                # engine start codes 0/1/2 = L/M/U match walk states
+            elif mode == "local":
+                starts = [
+                    (1, int(out[1][r]), int(out[2][r]))
+                    for r in range(len(b.idx))
+                ]
+            elif mode == "fit":
+                starts = [
+                    (1 if int(out[1][r]) == 0 else 0, b.m[r], int(out[2][r]))
+                    for r in range(len(b.idx))
+                ]
+            else:  # overlap
+                starts = [
+                    (0, b.m[r], int(out[1][r])) for r in range(len(b.idx))
+                ]
+            scores = np.asarray(out[0])
+            if mode == "fit" and not np.all(np.isfinite(scores)):
+                raise RuntimeError(
+                    "fit: no finite traceback start (reference UB)"
+                )
+            rows = device_tb.batch_traceback(
+                mode, out[-1], b.q, b.t, bpairs, starts
+            )
+            for r, k in enumerate(b.idx):
+                results[k] = AlignResult(float(scores[r]), *rows[r])
+            continue
         out = jax.tree.map(np.asarray, out)
         for r, k in enumerate(b.idx):
             q, t = pairs[k]

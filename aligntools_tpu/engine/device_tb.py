@@ -1,0 +1,207 @@
+"""On-device batched traceback: walk all pairs' pointer matrices in parallel.
+
+Host traceback requires pulling the packed pointer tensor off the device —
+B x m x n bytes (1 GB for a 256 x 2048^2 batch). Over fast PCIe that is
+~0.1 s, but through this environment's TPU tunnel (0.04 GB/s measured)
+it is ~25 s, dwarfing the 45 ms fill. The walk itself is sequential per
+pair but embarrassingly parallel ACROSS pairs, so this module runs it on
+the device: one ``lax.scan`` over m_pad + n_pad steps, each doing a
+B-element gather from the HBM-resident pointer tensor and emitting one
+(char1, char2) column per pair. Only the walked rows (B x (m+n) bytes,
+~2 MB) ever cross to the host, which reverses, trims, and applies the
+per-mode epilogues (global's unconsumed-prefix padding).
+
+Semantics are identical to the host walker (engine/traceback.py) and the
+reference routines it mirrors (src/alignment.h:372-412, 558-592, 766-800,
+896-922), including local's emit-then-stop HOME behavior and the
+fail-fast on unset pointers (the reference's UB / infinite-loop hazards).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from aligntools_tpu.engine.scan import (
+    PK_J_IS_JUMP,
+    PK_L_IS_MID,
+    PK_M_UNSET,
+    PK_U_IS_UPP,
+)
+
+# walk states (match native/aligntools_native.cpp)
+_LOW, _MID, _UPP, _JUMP = 0, 1, 2, 3
+_DONE, _ERR = 4, 5
+_GAP = np.uint8(ord("-"))
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _walk_affine(stop_at_j0, n_steps, ptrs, qs, ts, state0, i0, j0):
+    """Batched walk for global/local/fit.
+
+    ptrs (B, R, C) uint8; qs (B, m_pad) i32; ts (B, n_pad) i32;
+    state0/i0/j0 (B,) i32. stop_at_j0: True for global/local (while i>0 and
+    j>0), False for fit (while i>0). Returns stacked (n_steps, B) char
+    columns (walk order), per-pair emitted length, final (i, j), err flag.
+    """
+    B = ptrs.shape[0]
+    bidx = jnp.arange(B)
+
+    def step(carry, _):
+        i, j, state, count, err = carry
+        active = (state < _DONE) & (i > 0)
+        if stop_at_j0:
+            active = active & (j > 0)
+        byte = ptrs[bidx, jnp.maximum(i - 1, 0), jnp.maximum(j, 0)]
+        byte = byte.astype(jnp.int32)
+        code = byte & 0x7
+        # next-state decode per current state
+        nxt_mid = jnp.where(
+            code == PK_M_UNSET,
+            _ERR,
+            jnp.where(code <= 3, code, _DONE),  # 0-3 = LOW/MID/UPP/JUMP; 4=HOME
+        )
+        nxt = jnp.where(
+            state == _MID,
+            nxt_mid,
+            jnp.where(
+                state == _LOW,
+                jnp.where(byte & PK_L_IS_MID, _MID, _LOW),
+                jnp.where(
+                    state == _UPP,
+                    jnp.where(byte & PK_U_IS_UPP, _UPP, _MID),
+                    jnp.where(byte & PK_J_IS_JUMP, _JUMP, _MID),
+                ),
+            ),
+        )
+        is_low = state == _LOW
+        is_mid = state == _MID
+        takes_q = is_low | is_mid  # consumes a query char
+        takes_t = ~is_low  # MID/UPP/JUMP consume a target char
+        ni = jnp.where(active & takes_q, i - 1, i)
+        nj = jnp.where(active & takes_t, j - 1, j)
+        qc = qs[bidx, jnp.maximum(ni, 0)].astype(jnp.uint8)
+        tc = ts[bidx, jnp.maximum(nj, 0)].astype(jnp.uint8)
+        c1 = jnp.where(active, jnp.where(takes_q, qc, _GAP), jnp.uint8(0))
+        c2 = jnp.where(active, jnp.where(takes_t, tc, _GAP), jnp.uint8(0))
+        err = err | (active & (nxt == _ERR))
+        state = jnp.where(active, nxt, jnp.where(state < _DONE, _DONE, state))
+        count = count + active.astype(jnp.int32)
+        return (ni, nj, state, count, err), (c1, c2)
+
+    init = (
+        i0,
+        j0,
+        state0,
+        jnp.zeros(B, jnp.int32),
+        jnp.zeros(B, bool),
+    )
+    (fi, fj, _, count, err), (cols1, cols2) = jax.lax.scan(
+        step, init, None, length=n_steps
+    )
+    return cols1, cols2, count, fi, fj, err
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _walk_overlap(n_steps, ptrs, qs, ts, i0, j0):
+    """Batched overlap walk (while j>0; 2-bit codes move directly)."""
+    B = ptrs.shape[0]
+    bidx = jnp.arange(B)
+
+    def step(carry, _):
+        i, j, done, count, err = carry
+        active = (~done) & (j > 0)
+        byte = ptrs[bidx, jnp.maximum(i - 1, 0), jnp.maximum(j, 0)]
+        code = (byte & 0x3).astype(jnp.int32)
+        bad = active & ((code == 3) | (i <= 0))
+        takes_q = code != 0  # DIAG/RIGHT consume query
+        takes_t = code != 2  # LEFT/DIAG consume target
+        ni = jnp.where(active & takes_q, i - 1, i)
+        nj = jnp.where(active & takes_t, j - 1, j)
+        qc = qs[bidx, jnp.maximum(ni, 0)].astype(jnp.uint8)
+        tc = ts[bidx, jnp.maximum(nj, 0)].astype(jnp.uint8)
+        c1 = jnp.where(active, jnp.where(takes_q, qc, _GAP), jnp.uint8(0))
+        c2 = jnp.where(active, jnp.where(takes_t, tc, _GAP), jnp.uint8(0))
+        err = err | bad
+        done = done | bad | (nj == 0)
+        count = count + (active & ~bad).astype(jnp.int32)
+        return (ni, nj, done, count, err), (c1, c2)
+
+    init = (
+        i0, j0, jnp.zeros(B, bool), jnp.zeros(B, jnp.int32),
+        jnp.zeros(B, bool),
+    )
+    (_, _, _, count, err), (cols1, cols2) = jax.lax.scan(
+        step, init, None, length=n_steps
+    )
+    return cols1, cols2, count, err
+
+
+def batch_traceback(mode, ptrs_dev, qs_np, ts_np, pairs, starts):
+    """Walk a whole bucket on-device; assemble final rows on the host.
+
+    ``ptrs_dev``: device (B, R, C) uint8 pointer tensor (stays on device);
+    ``qs_np``/``ts_np``: host (B, m_pad)/(B, n_pad) int arrays;
+    ``pairs``: [(q_bytes, t_bytes)] true sequences; ``starts``: per-pair
+    (state0, i0, j0) ints (state encoding of _walk_affine, ignored for
+    overlap). Returns [(row1, row2)] per pair.
+    """
+    B = ptrs_dev.shape[0]
+    n_steps = int(qs_np.shape[1] + ts_np.shape[1] + 1)
+    qs_d = jnp.asarray(qs_np)
+    ts_d = jnp.asarray(ts_np)
+    if mode == "overlap":
+        i0 = jnp.asarray([s[1] for s in starts], jnp.int32)
+        j0 = jnp.asarray([s[2] for s in starts], jnp.int32)
+        cols1, cols2, count, err = _walk_overlap(
+            n_steps, ptrs_dev, qs_d, ts_d, i0, j0
+        )
+        fi = fj = None
+    else:
+        state0 = jnp.asarray([s[0] for s in starts], jnp.int32)
+        i0 = jnp.asarray([s[1] for s in starts], jnp.int32)
+        j0 = jnp.asarray([s[2] for s in starts], jnp.int32)
+        cols1, cols2, count, fi, fj, err = _walk_affine(
+            mode != "fit", n_steps, ptrs_dev, qs_d, ts_d, state0, i0, j0
+        )
+    # pack device-side so the tunnel sees ONE bulk transfer for the char
+    # planes and one small one for the scalars (each np.asarray round-trip
+    # costs ~0.1 s in this environment)
+    both = np.asarray(jnp.stack([cols1, cols2]))
+    cols1, cols2 = both[0], both[1]
+    if fi is None:
+        scalars = np.asarray(
+            jnp.stack([count, err.astype(jnp.int32)])
+        )
+        count, err = scalars[0], scalars[1].astype(bool)
+    else:
+        scalars = np.asarray(
+            jnp.stack([count, err.astype(jnp.int32), fi, fj])
+        )
+        count, err = scalars[0], scalars[1].astype(bool)
+        fi, fj = scalars[2], scalars[3]
+    out = []
+    for b in range(B):
+        if err[b]:
+            raise RuntimeError(
+                "traceback hit unset pointer (reference UB) in pair "
+                f"{b}"
+            )
+        ln = int(count[b])
+        r1 = bytes(cols1[:ln, b][::-1])
+        r2 = bytes(cols2[:ln, b][::-1])
+        if mode == "global":
+            # epilogue: unconsumed prefixes padded with gaps, unscored
+            # (alignment.h:398-407) — cheap numpy slicing on the host
+            q, t = pairs[b]
+            i, j = int(fi[b]), int(fj[b])
+            # reference append order is epi_j then epi_i, all reversed at
+            # the end (alignment.h:398-411) => q-prefix, then gap run, then
+            # the walked suffix
+            r1 = q[:i] + b"-" * j + r1
+            r2 = b"-" * i + t[:j] + r2
+        out.append((r1, r2))
+    return out

@@ -116,3 +116,50 @@ def test_pallas_engine_fit():
         got = batch_scores("fit", pairs, p, sites_list=sl, engine="pallas")
         want = batch_scores("fit", pairs, p, sites_list=sl, engine="xla")
         assert np.array_equal(got, want), sl is None
+
+
+@pytest.mark.parametrize("mode", ["global", "local", "fit", "overlap"])
+def test_device_traceback_matches_host(mode):
+    """On-device batched walk vs the host walker, bit-for-bit (runs the
+    device path explicitly; on CPU it exercises the same jitted code)."""
+    from aligntools_tpu.engine import device_tb
+    from aligntools_tpu.batch import _bucketize, _params_mat, _vfill, _vfill_fit
+    import jax.numpy as jnp
+    import jax
+
+    rng = np.random.default_rng(51)
+    pairs = []
+    for _ in range(11):
+        q = bytes(rng.choice(list(ALPHA), int(rng.integers(1, 50))).tolist())
+        lo = len(q) if mode == "fit" else 1
+        t = bytes(rng.choice(list(ALPHA), int(rng.integers(lo, 120))).tolist())
+        pairs.append((q, t))
+    p = AlignParams(match=2, mismatch=-3, gap_open=-4, gap_extend=-1)
+    want = align_batch(mode, pairs, p)
+    (key, b), = _bucketize(pairs, None).items() if len(
+        _bucketize(pairs, None)) == 1 else (None, None)
+    if b is None:
+        pytest.skip("multiple buckets; single-bucket test")
+    ps = _params_mat(p, b.m)
+    ns = jnp.asarray(b.n)
+    qs, ts = jnp.asarray(b.q), jnp.asarray(b.t)
+    if mode == "fit":
+        allowed = jnp.asarray(np.ones((len(b.idx), b.n_pad), dtype=bool))
+        out = _vfill_fit(qs, ts, allowed, b.n_pad, False, True, ns, ps)
+        starts = [(1 if int(out[1][r]) == 0 else 0, b.m[r], int(out[2][r]))
+                  for r in range(len(b.idx))]
+    else:
+        out = _vfill(qs, ts, mode, b.n_pad, True, ns, ps)
+        if mode == "global":
+            starts = [(int(out[1][r]), b.m[r], b.n[r])
+                      for r in range(len(b.idx))]
+        elif mode == "local":
+            starts = [(1, int(out[1][r]), int(out[2][r]))
+                      for r in range(len(b.idx))]
+        else:
+            starts = [(0, b.m[r], int(out[1][r]))
+                      for r in range(len(b.idx))]
+    rows = device_tb.batch_traceback(mode, out[-1], b.q, b.t,
+                                     [pairs[k] for k in b.idx], starts)
+    for r, k in enumerate(b.idx):
+        assert rows[r] == (want[k].row1, want[k].row2), (mode, k)
