@@ -132,6 +132,9 @@ def _pallas_bucket_scores(mode, b, params: AlignParams, use_jump: bool):
     from aligntools_tpu.ops import pallas_scan as pk
 
     interpret = jax.default_backend() != "tpu"
+    blocked = _select.use_blocked(mode, b.n_pad)
+    if blocked and mode not in ("global", "local", "fit"):
+        raise ValueError("blocked kernel covers affine modes only")
     B = len(b.idx)
     Bp = -(-B // pk.TILE_B) * pk.TILE_B
     qs = np.full((Bp, b.m_pad), -1, np.int32)
@@ -146,13 +149,24 @@ def _pallas_bucket_scores(mode, b, params: AlignParams, use_jump: bool):
     pmat[0, :5] = [params.match, params.mismatch, params.gap_open,
                    params.gap_extend, params.jump]
     args = tuple(jnp.asarray(a) for a in (qs, ts, ns, ms, pmat))
-    if mode == "fit":
+    allow = None
+    if mode == "fit" or blocked:
         allow = np.ones((Bp, b.n_pad), np.float32)
-        if b.allowed is not None:
+        if mode == "fit" and b.allowed is not None:
             allow[:B] = b.allowed.astype(np.float32)
+        allow = jnp.asarray(allow)
+    if blocked:
+        from aligntools_tpu.ops.pallas_blocked import blocked_scores
+
+        out = blocked_scores(
+            mode, use_jump and mode == "fit", b.m_pad, b.n_pad,
+            _select.BLOCKED_C_BLK, interpret,
+            args[0], args[1], allow, args[2], args[3], args[4],
+        )
+    elif mode == "fit":
         out = pk.pallas_fit_scores(
             use_jump, b.m_pad, b.n_pad, interpret,
-            args[0], args[1], jnp.asarray(allow), args[2], args[3], args[4],
+            args[0], args[1], allow, args[2], args[3], args[4],
         )
     else:
         out = pk.pallas_scores(mode, b.m_pad, b.n_pad, interpret, *args)
@@ -180,7 +194,7 @@ def align_batch(
     for b in buckets.values():
         if not traceback and engine != "xla" and (
             engine == "pallas"
-            or _select.use_pallas(len(b.idx), b.m_pad, b.n_pad)
+            or _select.use_pallas(len(b.idx), b.m_pad, b.n_pad, mode)
         ):
             vals = _pallas_bucket_scores(mode, b, params, use_jump)
             for r, k in enumerate(b.idx):

@@ -27,14 +27,26 @@ from __future__ import annotations
 
 import jax
 
-# Pallas kernel VMEM budget: 4-5 carry rows + temps per 8-pair tile.
-PALLAS_MAX_N_PAD = 65536
+# Flat Pallas kernel VMEM budget: 4-5 (8, n_pad) carry rows + temps per
+# tile; beyond this the column-blocked kernel (ops/pallas_blocked.py)
+# streams the target through VMEM in c_blk-wide blocks.
+PALLAS_FLAT_MAX_N_PAD = 32768
+BLOCKED_C_BLK = 8192
 
 
-def use_pallas(batch: int, m_pad: int, n_pad: int) -> bool:
-    """True if the Pallas kernel is the faster engine for this bucket."""
+def use_pallas(batch: int, m_pad: int, n_pad: int, mode: str = "local") -> bool:
+    """True if a Pallas kernel is the faster engine for this bucket."""
     if jax.default_backend() != "tpu":
         return False  # interpret-mode Pallas is only for tests
-    if n_pad > PALLAS_MAX_N_PAD:
-        return False  # needs the column-blocked streaming kernel
+    if n_pad > PALLAS_FLAT_MAX_N_PAD and not use_blocked(mode, n_pad):
+        return False  # overlap/edit beyond the flat kernel: XLA engine
     return not (batch >= 128 and n_pad <= 4096)
+
+
+def use_blocked(mode: str, n_pad: int) -> bool:
+    """Column-blocked streaming kernel: long targets, affine modes.
+    (overlap/edit at >32k columns stay on the XLA engine — rare shapes;
+    measured 18.4 GCUPS for fit at 2048x131072 vs ~2-4 on XLA.)"""
+    return n_pad > PALLAS_FLAT_MAX_N_PAD and mode in (
+        "global", "local", "fit",
+    )

@@ -1,0 +1,294 @@
+"""Column-blocked Pallas kernels: targets far beyond VMEM, streamed.
+
+The flat kernels (pallas_scan.py) keep whole (8, n_pad) carry rows in VMEM,
+which caps n_pad near 64k. Long-target workloads — the reference's own fit
+fixtures run to 114,491 bp (test/tmp.fa) — need more, so this kernel tiles
+the TARGET axis: grid (batch_tile, col_block), col blocks iterated
+sequentially per tile (TPU grids are sequential on a core), with the DP
+state crossing block edges through persistent VMEM scratch:
+
+  * ``bnd`` scratch holds block c-1's last-column (M, L, U, J) per row —
+    row i's diagonal predecessors read the row i-1 entry, the in-row scan
+    seeds read the row i entry, and block c's edges replace them for block
+    c+1. Mosaic cannot index the lane axis dynamically, so per-row edge
+    READS are one-hot MXU contractions and WRITES are iota-select merges
+    into carried arrays (stored back to scratch once per block);
+  * the in-row max-plus scans use GLOBAL column indices in the slope
+    normalization, so a block's scan continues the previous block's
+    exactly (same trick as parallel/seqpar.py across devices).
+
+Scores accumulate into the (8, 1) output block (same output block for
+every col step). Exact per-cell semantics identical to pallas_scan.py /
+engine/scan.py. Score-only; global / local / fit(+jump).
+
+Reference recurrences: src/alignment.h:417-473, 805-847, 596-694.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from aligntools_tpu.ops.pallas_scan import (
+    TILE_B,
+    _cummax_lanes,
+    _row_char,
+    _shift_in,
+)
+
+NEG = float("-inf")
+
+
+def _blocked_affine_kernel(mode, use_jump, m_pad, c_blk, q_ref, t_ref,
+                           allow_ref, n_ref, m_ref, p_ref, out_ref, bnd_ref):
+    """One (batch_tile, col_block) grid step. ``bnd_ref`` (4, 8, m_pad)
+    scratch persists across the sequential col_block iterations."""
+    c = pl.program_id(1)
+    match, mis = p_ref[0, 0], p_ref[0, 1]
+    o, e, jp = p_ref[0, 2], p_ref[0, 3], p_ref[0, 4]
+    t = t_ref[:, :].astype(jnp.float32)
+    qf = q_ref[:, :].astype(jnp.float32)
+    iota_col = jax.lax.broadcasted_iota(jnp.int32, (m_pad, 1), 0)
+    iota_row = jax.lax.broadcasted_iota(jnp.int32, (TILE_B, m_pad), 1)
+    n_col = n_ref[:, :]
+    m_col = m_ref[:, :]
+    col0 = c * c_blk  # global index of the column before this block
+    jcol = (
+        jax.lax.broadcasted_iota(jnp.int32, (TILE_B, c_blk), 1) + 1 + col0
+    )
+    jcol_f = jcol.astype(jnp.float32)
+    first_blk = c == 0
+    zrow = t * 0.0
+    zcol = jnp.max(zrow, axis=1, keepdims=True)
+    zbnd = qf * 0.0  # natural-layout (8, m_pad) zeros
+    if use_jump:
+        allow = allow_ref[:, :]
+    if mode == "global":
+        mask_fin = jcol == n_col
+    elif mode == "local":
+        mask_fin = jcol <= n_col
+    else:  # fit
+        mask_fin = jcol <= n_col - 1
+
+    # previous block's edges (rows 1..m_pad at lane idx = row-1)
+    oldM = bnd_ref[0, :, :]
+    oldL = bnd_ref[1, :, :]
+    oldU = bnd_ref[2, :, :]
+    oldJ = bnd_ref[3, :, :]
+
+    # row-0 carries for this block (analytic; alignment.h border inits)
+    if mode == "global":
+        m_init = zrow + NEG
+        l_init = zrow + NEG
+        u_init = zrow + o + e * jcol_f
+    elif mode == "local":
+        m_init = zrow
+        l_init = zrow
+        u_init = zrow
+    else:  # fit: row0 M=U=0, L=J=-inf
+        m_init = zrow
+        l_init = zrow + NEG
+        u_init = zrow
+    j_init = zrow + NEG
+
+    gj0 = jnp.float32(col0)
+    if mode == "global":
+        # block c-1's last-column value of the INIT row (analytic):
+        # M(0,j)=-inf (j>0) / 0 at j=0; L likewise with o; U(0,j)=o+e*j
+        e0 = (
+            jnp.where(first_blk, 0.0, NEG),
+            jnp.where(first_blk, o, NEG),
+            jnp.where(first_blk, o, o + e * gj0),
+            NEG,
+        )
+    elif mode == "local":
+        e0 = (0.0, 0.0, 0.0, NEG)
+    else:  # fit: M(0,j)=U(0,j)=0 everywhere incl. col0
+        e0 = (0.0, NEG, 0.0, NEG)
+
+    def border_cols(i_f):
+        """Column-0 borders of row i>=1 (used when c == 0)."""
+        if mode == "global":
+            return NEG, o + e * i_f, NEG, NEG
+        if mode == "local":
+            return 0.0, 0.0, 0.0, NEG
+        return NEG, NEG, NEG, NEG  # fit col0 all -inf for i >= 1
+
+    def row(idx, carry):
+        mp, lp, up, jpr, nM, nL, nU, nJ, acc = carry
+        i = idx + 1
+        i_f = jnp.float32(idx) + 1.0
+        qc = _row_char(qf, iota_col, idx, c_blk)
+        sub = jnp.where(t == qc, match, mis)
+        # previous block's edges at rows idx (-> row i-1... stored at lane
+        # r-1 for row r) and idx+1? Layout: old*[ :, r-1] = edge of row r.
+        # diag needs edge of row i-1 = lane idx-1; seeds need row i = lane
+        # idx. Extract both with one 2-column one-hot contraction.
+        oh = jnp.concatenate(
+            [
+                (iota_col == idx - 1).astype(jnp.float32),
+                (iota_col == idx).astype(jnp.float32),
+            ],
+            axis=1,
+        )  # (m_pad, 2)
+
+        def edges(old):
+            r = jax.lax.dot_general(
+                jnp.where(jnp.isfinite(old), old, 0.0), oh,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            inf_r = jax.lax.dot_general(
+                jnp.where(jnp.isfinite(old), 0.0, 1.0), oh,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            r = jnp.where(inf_r > 0.0, NEG, r)  # restore -inf entries
+            return r[:, 0:1], r[:, 1:2]
+
+        eM_prev, eM_cur = edges(oldM)
+        eL_prev, _ = edges(oldL)
+        eU_prev, eU_cur = edges(oldU)
+        eJ_prev, eJ_cur = edges(oldJ)
+        # shift-in columns: col-0 border (c==0) vs left block's edge; the
+        # row-0 edge (idx==0) is analytic on every block.
+        bM, bL, bU, bJ = border_cols(i_f - 1.0)
+        if mode == "global":
+            bM = jnp.where(idx == 0, 0.0, bM)
+            bU = jnp.where(idx == 0, o, bU)
+        if mode == "fit":
+            bM = jnp.where(idx == 0, 0.0, bM)
+            bU = jnp.where(idx == 0, 0.0, bU)
+        sh_m = jnp.where(
+            first_blk, zcol + bM,
+            jnp.where(idx == 0, zcol + e0[0], eM_prev),
+        )
+        sh_l = jnp.where(
+            first_blk, zcol + bL,
+            jnp.where(idx == 0, zcol + e0[1], eL_prev),
+        )
+        sh_u = jnp.where(
+            first_blk, zcol + bU,
+            jnp.where(idx == 0, zcol + e0[2], eU_prev),
+        )
+        sh_j = jnp.where(
+            first_blk, zcol + bJ,
+            jnp.where(idx == 0, zcol + e0[3], eJ_prev),
+        )
+        diag = jnp.maximum(
+            jnp.maximum(_shift_in(lp, sh_l), _shift_in(mp, sh_m)),
+            _shift_in(up, sh_u),
+        )
+        if use_jump:
+            diag = jnp.maximum(diag, _shift_in(jpr, sh_j))
+        m_row = diag + sub
+        if mode == "local":
+            m_row = jnp.maximum(m_row, 0.0)
+        l_row = jnp.maximum(lp + e, mp + o)
+        # U scan with global-column slope; seed = U at this row's left edge
+        bMi, _, bUi, _ = border_cols(i_f)
+        m_edge_cur = jnp.where(first_blk, zcol + bMi, eM_cur)
+        u_edge_cur = jnp.where(first_blk, zcol + bUi, eU_cur)
+        cand = _shift_in(m_row, m_edge_cur) + o - e * jcol_f
+        seed_v = u_edge_cur - e * gj0  # V-normalized left-edge seed
+        v = jnp.maximum(
+            _cummax_lanes(cand), jnp.broadcast_to(seed_v, (TILE_B, c_blk))
+        )
+        u_row = v + e * jcol_f
+        if use_jump:
+            j_edge_cur = jnp.where(first_blk, zcol + NEG, eJ_cur)
+            jcand = jnp.where(
+                allow > 0.0, _shift_in(m_row, m_edge_cur) + jp, NEG
+            )
+            j_row = jnp.maximum(
+                _cummax_lanes(jcand),
+                jnp.broadcast_to(j_edge_cur, (TILE_B, c_blk)),
+            )
+        else:
+            j_row = jpr
+        # merge this block's row-i edge into the new-edge accumulators
+        sel = iota_row == idx
+        bc = lambda x: jnp.broadcast_to(x, (TILE_B, m_pad))
+        nM = jnp.where(sel, bc(m_row[:, -1:]), nM)
+        nL = jnp.where(sel, bc(l_row[:, -1:]), nL)
+        nU = jnp.where(sel, bc(u_row[:, -1:]), nU)
+        if use_jump:
+            nJ = jnp.where(sel, bc(j_row[:, -1:]), nJ)
+        # score tracking within this block
+        if mode == "global":
+            fin = jnp.max(
+                jnp.where(
+                    mask_fin,
+                    jnp.maximum(jnp.maximum(l_row, m_row), u_row), NEG,
+                ),
+                axis=1, keepdims=True,
+            )
+            acc = jnp.where(i == m_col, fin, acc)
+        elif mode == "local":
+            rowmax = jnp.max(
+                jnp.where(mask_fin, m_row, NEG), axis=1, keepdims=True
+            )
+            rowmax = jnp.where(i <= m_col, rowmax, NEG)
+            acc = jnp.maximum(acc, rowmax)
+        else:  # fit
+            rowmax = jnp.max(
+                jnp.where(mask_fin, jnp.maximum(m_row, l_row), NEG),
+                axis=1, keepdims=True,
+            )
+            acc = jnp.where(i == m_col, rowmax, acc)
+        return m_row, l_row, u_row, j_row, nM, nL, nU, nJ, acc
+
+    init = (
+        m_init, l_init, u_init, j_init,
+        zbnd + NEG, zbnd + NEG, zbnd + NEG, zbnd + NEG,
+        zcol + NEG,
+    )
+    out = jax.lax.fori_loop(0, m_pad, row, init)
+    nM, nL, nU, nJ, acc = out[4], out[5], out[6], out[7], out[8]
+    bnd_ref[0, :, :] = nM
+    bnd_ref[1, :, :] = nL
+    bnd_ref[2, :, :] = nU
+    bnd_ref[3, :, :] = nJ
+    prev = jnp.where(first_blk, zcol + NEG, out_ref[:, :])
+    out_ref[:, :] = jnp.maximum(prev, acc)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5))
+def blocked_scores(mode, use_jump, m_pad, n_pad, c_blk, interpret,
+                   qs, ts, allow, ns, ms, params):
+    """Score-only blocked fill. Shapes as pallas_scores, plus c_blk (column
+    block width, multiple of 128, n_pad % c_blk == 0)."""
+    assert n_pad % c_blk == 0
+    B = qs.shape[0]
+    kern = functools.partial(
+        _blocked_affine_kernel, mode, use_jump, m_pad, c_blk
+    )
+    grid = (B // TILE_B, n_pad // c_blk)
+    out = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((TILE_B, m_pad), lambda b, c: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_B, c_blk), lambda b, c: (b, c),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_B, c_blk), lambda b, c: (b, c),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_B, 1), lambda b, c: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_B, 1), lambda b, c: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8), lambda b, c: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((TILE_B, 1), lambda b, c: (b, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, 1), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((4, TILE_B, m_pad), jnp.float32)],
+        interpret=interpret,
+    )(qs, ts, allow, ns, ms, params)
+    return out[:, 0]
