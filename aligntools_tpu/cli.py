@@ -207,10 +207,9 @@ def run_batch(args: list[str]) -> int:
 def main(argv: list[str] | None = None) -> int:
     argv = list(sys.argv if argv is None else argv)
     if len(argv) >= 2 and argv[1] == "batch":
-        # batch targets the device by default (only surface that does)
-        if "--device" not in argv:
-            os.environ.setdefault("ALIGNTOOLS_DEVICE",
-                                  os.environ.get("ALIGNTOOLS_DEVICE", ""))
+        # batch is the only surface that targets the device by default
+        # (keeps the container's JAX_PLATFORMS, i.e. the TPU when present);
+        # ALIGNTOOLS_DEVICE / --device override.
         if os.environ.get("ALIGNTOOLS_DEVICE"):
             _select_backend()
         return run_batch(argv[2:])
