@@ -173,6 +173,58 @@ def _pallas_bucket_scores(mode, b, params: AlignParams, use_jump: bool):
     return np.asarray(out)[:B]
 
 
+def _pallas_bucket_full(mode, b, params, use_jump, pairs, results):
+    """Full-alignment bucket on the pointer-emitting Pallas kernel + the
+    on-device batched walk: the pointer tensor never leaves the chip."""
+    from aligntools_tpu.engine import device_tb
+    from aligntools_tpu.ops import pallas_ptr as pp
+    from aligntools_tpu.ops import pallas_scan as pk
+
+    B = len(b.idx)
+    Bp = -(-B // pk.TILE_B) * pk.TILE_B
+    qs = np.full((Bp, b.m_pad), -1, np.int32)
+    ts = np.full((Bp, b.n_pad), -2, np.int32)
+    qs[:B] = b.q
+    ts[:B] = b.t
+    ns = np.ones((Bp, 1), np.int32)
+    ms = np.ones((Bp, 1), np.int32)
+    ns[:B, 0] = b.n
+    ms[:B, 0] = b.m
+    allow = np.ones((Bp, b.n_pad), np.float32)
+    if mode == "fit" and b.allowed is not None:
+        allow[:B] = b.allowed.astype(np.float32)
+    pmat = np.zeros((1, 8), np.float32)
+    pmat[0, :5] = [params.match, params.mismatch, params.gap_open,
+                   params.gap_extend, params.jump]
+    args = tuple(
+        jnp.asarray(a) for a in (qs, ts, allow, ns, ms, pmat)
+    )
+    score, a, bb, ptrs = pp.pallas_ptr_fill(
+        mode, use_jump and mode == "fit", b.m_pad, b.n_pad, False, *args
+    )
+    score = np.asarray(score)[:B]
+    a = np.asarray(a)[:B]
+    bb = np.asarray(bb)[:B]
+    if mode == "fit" and not np.all(np.isfinite(score)):
+        raise RuntimeError("fit: no finite traceback start (reference UB)")
+    if mode == "global":
+        starts = [(int(a[r]), b.m[r], b.n[r]) for r in range(B)]
+    elif mode == "local":
+        starts = [(1, int(a[r]), int(bb[r])) for r in range(B)]
+    elif mode == "fit":
+        # a = use_l (1 when L wins) -> walk states _LOW=0 / _MID=1
+        starts = [(0 if int(a[r]) else 1, b.m[r], int(bb[r]))
+                  for r in range(B)]
+    else:  # overlap
+        starts = [(0, b.m[r], int(a[r])) for r in range(B)]
+    bpairs = [pairs[k] for k in b.idx]
+    rows = device_tb.batch_traceback(
+        mode, ptrs[:B], qs[:B], ts[:B], bpairs, starts, col_base=1
+    )
+    for r, k in enumerate(b.idx):
+        results[k] = AlignResult(float(score[r]), *rows[r])
+
+
 def align_batch(
     mode: str,
     pairs: Sequence[tuple[bytes, bytes]],
@@ -192,16 +244,26 @@ def align_batch(
     buckets = _bucketize(pairs, sites_list if use_jump else None)
     results: list = [None] * len(pairs)
     for b in buckets.values():
-        if not traceback and engine != "xla" and (
+        route_pallas = engine != "xla" and (
             engine == "pallas"
             or _select.use_pallas(len(b.idx), b.m_pad, b.n_pad, mode)
-        ):
+        )
+        if not traceback and route_pallas:
             vals = _pallas_bucket_scores(mode, b, params, use_jump)
             for r, k in enumerate(b.idx):
                 results[k] = (
                     int(vals[r]) if mode == "edit"
                     else AlignResult(float(vals[r]), b"", b"")
                 )
+            continue
+        if (
+            traceback
+            and route_pallas
+            and mode != "edit"
+            and jax.default_backend() == "tpu"
+            and not _select.use_blocked(mode, b.n_pad)
+        ):
+            _pallas_bucket_full(mode, b, params, use_jump, pairs, results)
             continue
         ps = _params_mat(params, b.m)
         ns = jnp.asarray(b.n)

@@ -38,8 +38,8 @@ _DONE, _ERR = 4, 5
 _GAP = np.uint8(ord("-"))
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1))
-def _walk_affine(stop_at_j0, n_steps, ptrs, qs, ts, state0, i0, j0):
+@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+def _walk_affine(stop_at_j0, n_steps, col_base, ptrs, qs, ts, state0, i0, j0):
     """Batched walk for global/local/fit.
 
     ptrs (B, R, C) uint8; qs (B, m_pad) i32; ts (B, n_pad) i32;
@@ -55,7 +55,7 @@ def _walk_affine(stop_at_j0, n_steps, ptrs, qs, ts, state0, i0, j0):
         active = (state < _DONE) & (i > 0)
         if stop_at_j0:
             active = active & (j > 0)
-        byte = ptrs[bidx, jnp.maximum(i - 1, 0), jnp.maximum(j, 0)]
+        byte = ptrs[bidx, jnp.maximum(i - 1, 0), jnp.maximum(j - col_base, 0)]
         byte = byte.astype(jnp.int32)
         code = byte & 0x7
         # next-state decode per current state
@@ -105,8 +105,8 @@ def _walk_affine(stop_at_j0, n_steps, ptrs, qs, ts, state0, i0, j0):
     return cols1, cols2, count, fi, fj, err
 
 
-@functools.partial(jax.jit, static_argnums=(0,))
-def _walk_overlap(n_steps, ptrs, qs, ts, i0, j0):
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _walk_overlap(n_steps, col_base, ptrs, qs, ts, i0, j0):
     """Batched overlap walk (while j>0; 2-bit codes move directly)."""
     B = ptrs.shape[0]
     bidx = jnp.arange(B)
@@ -114,7 +114,7 @@ def _walk_overlap(n_steps, ptrs, qs, ts, i0, j0):
     def step(carry, _):
         i, j, done, count, err = carry
         active = (~done) & (j > 0)
-        byte = ptrs[bidx, jnp.maximum(i - 1, 0), jnp.maximum(j, 0)]
+        byte = ptrs[bidx, jnp.maximum(i - 1, 0), jnp.maximum(j - col_base, 0)]
         code = (byte & 0x3).astype(jnp.int32)
         bad = active & ((code == 3) | (i <= 0))
         takes_q = code != 0  # DIAG/RIGHT consume query
@@ -140,14 +140,17 @@ def _walk_overlap(n_steps, ptrs, qs, ts, i0, j0):
     return cols1, cols2, count, err
 
 
-def batch_traceback(mode, ptrs_dev, qs_np, ts_np, pairs, starts):
+def batch_traceback(mode, ptrs_dev, qs_np, ts_np, pairs, starts,
+                    col_base=0):
     """Walk a whole bucket on-device; assemble final rows on the host.
 
     ``ptrs_dev``: device (B, R, C) uint8 pointer tensor (stays on device);
     ``qs_np``/``ts_np``: host (B, m_pad)/(B, n_pad) int arrays;
     ``pairs``: [(q_bytes, t_bytes)] true sequences; ``starts``: per-pair
     (state0, i0, j0) ints (state encoding of _walk_affine, ignored for
-    overlap). Returns [(row1, row2)] per pair.
+    overlap). ``col_base``: 0 when the pointer tensor includes column 0
+    (XLA engine), 1 when it starts at column 1 (Pallas ptr kernel).
+    Returns [(row1, row2)] per pair.
     """
     B = ptrs_dev.shape[0]
     n_steps = int(qs_np.shape[1] + ts_np.shape[1] + 1)
@@ -157,7 +160,7 @@ def batch_traceback(mode, ptrs_dev, qs_np, ts_np, pairs, starts):
         i0 = jnp.asarray([s[1] for s in starts], jnp.int32)
         j0 = jnp.asarray([s[2] for s in starts], jnp.int32)
         cols1, cols2, count, err = _walk_overlap(
-            n_steps, ptrs_dev, qs_d, ts_d, i0, j0
+            n_steps, col_base, ptrs_dev, qs_d, ts_d, i0, j0
         )
         fi = fj = None
     else:
@@ -165,7 +168,8 @@ def batch_traceback(mode, ptrs_dev, qs_np, ts_np, pairs, starts):
         i0 = jnp.asarray([s[1] for s in starts], jnp.int32)
         j0 = jnp.asarray([s[2] for s in starts], jnp.int32)
         cols1, cols2, count, fi, fj, err = _walk_affine(
-            mode != "fit", n_steps, ptrs_dev, qs_d, ts_d, state0, i0, j0
+            mode != "fit", n_steps, col_base, ptrs_dev, qs_d, ts_d, state0,
+            i0, j0,
         )
     # pack device-side so the tunnel sees ONE bulk transfer for the char
     # planes and one small one for the scalars (each np.asarray round-trip
