@@ -19,8 +19,12 @@ kernel is VMEM-resident by construction and rises to a steady ~36 GCUPS
 as the per-row fixed overheads amortize (its asymptotic cost is the
 log2(n) Hillis-Steele passes of the in-row max-plus scan).
 
-Score-only paths route freely; pointer-emitting fills stay on the XLA
-engine until the DMA-staged pointer kernel lands.
+Score-only paths route freely. Full-alignment (pointer-emitting) fills
+also route to Pallas on TPU (ops/pallas_ptr.py: DMA-staged packed pointer
+rows + on-device batched walk; emission measures free — 17.9 vs 17.3
+GCUPS score-only at 64x2048^2, where the XLA ptr path gets ~1-4), except
+long-target buckets which use the blocked score kernel + the XLA pointer
+path.
 """
 
 from __future__ import annotations

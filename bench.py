@@ -30,7 +30,15 @@ import sys
 import tempfile
 import time
 
-import numpy as np
+try:
+    import numpy as np
+except ImportError:  # bare system python: re-exec under the jax venv
+    venv = "/opt/venv/bin/python"
+    # NB: compare by prefix — the venv python symlinks to the same base
+    # interpreter, so realpath comparison would wrongly match
+    if os.path.exists(venv) and not sys.executable.startswith("/opt/venv/"):
+        os.execv(venv, [venv, os.path.abspath(__file__), *sys.argv[1:]])
+    raise
 
 REF_SRC = "/root/reference/src"
 
