@@ -327,7 +327,7 @@ def pallas_ptr_fill(mode, use_jump, m_pad, n_pad, interpret,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((TILE_B, 1), lambda g: (g, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),  # whole (B, m_pad, n_pad)
+            pl.BlockSpec(memory_space=pl.ANY),  # whole (B, m_pad, n_pad)
         ),
         out_shape=(
             jax.ShapeDtypeStruct((B, 1), jnp.float32),
