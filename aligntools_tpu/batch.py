@@ -123,65 +123,14 @@ def _params_mat(p: AlignParams, ms: np.ndarray) -> jnp.ndarray:
     return jnp.asarray(out)
 
 
-def _pallas_bucket_scores(mode, b, params: AlignParams, use_jump: bool):
-    """Score a bucket on the Pallas VMEM kernel (ops/pallas_scan.py).
-
-    Pads the bucket batch to a TILE_B multiple; interpret mode on CPU."""
-    import jax
-
-    from aligntools_tpu.ops import pallas_scan as pk
-
-    interpret = jax.default_backend() != "tpu"
-    blocked = _select.use_blocked(mode, b.n_pad)
-    if blocked and mode not in ("global", "local", "fit"):
-        raise ValueError("blocked kernel covers affine modes only")
-    B = len(b.idx)
-    Bp = -(-B // pk.TILE_B) * pk.TILE_B
-    qs = np.full((Bp, b.m_pad), -1, np.int32)
-    ts = np.full((Bp, b.n_pad), -2, np.int32)
-    qs[:B] = b.q
-    ts[:B] = b.t
-    ns = np.ones((Bp, 1), np.int32)
-    ms = np.ones((Bp, 1), np.int32)
-    ns[:B, 0] = b.n
-    ms[:B, 0] = b.m
-    pmat = np.zeros((1, 8), np.float32)
-    pmat[0, :5] = [params.match, params.mismatch, params.gap_open,
-                   params.gap_extend, params.jump]
-    args = tuple(jnp.asarray(a) for a in (qs, ts, ns, ms, pmat))
-    allow = None
-    if mode == "fit" or blocked:
-        allow = np.ones((Bp, b.n_pad), np.float32)
-        if mode == "fit" and b.allowed is not None:
-            allow[:B] = b.allowed.astype(np.float32)
-        allow = jnp.asarray(allow)
-    if blocked:
-        from aligntools_tpu.ops.pallas_blocked import blocked_scores
-
-        out = blocked_scores(
-            mode, use_jump and mode == "fit", b.m_pad, b.n_pad,
-            _select.BLOCKED_C_BLK, interpret,
-            args[0], args[1], allow, args[2], args[3], args[4],
-        )
-    elif mode == "fit":
-        out = pk.pallas_fit_scores(
-            use_jump, b.m_pad, b.n_pad, interpret,
-            args[0], args[1], allow, args[2], args[3], args[4],
-        )
-    else:
-        out = pk.pallas_scores(mode, b.m_pad, b.n_pad, interpret, *args)
-    return np.asarray(out)[:B]
-
-
-def _pallas_bucket_full(mode, b, params, use_jump, pairs, results):
-    """Full-alignment bucket on the pointer-emitting Pallas kernel + the
-    on-device batched walk: the pointer tensor never leaves the chip."""
-    from aligntools_tpu.engine import device_tb
-    from aligntools_tpu.ops import pallas_ptr as pp
-    from aligntools_tpu.ops import pallas_scan as pk
+def _kernel_arrays(b, params: AlignParams):
+    """Device input arrays for a Pallas kernel bucket, batch padded to a
+    TILE_B multiple: (qs, ts, allow, ns, ms, pmat) as jnp arrays, plus the
+    true batch size B and the host qs/ts (for the device walk)."""
+    from aligntools_tpu.ops.pallas_scan import TILE_B
 
     B = len(b.idx)
-    Bp = -(-B // pk.TILE_B) * pk.TILE_B
+    Bp = -(-B // TILE_B) * TILE_B
     qs = np.full((Bp, b.m_pad), -1, np.int32)
     ts = np.full((Bp, b.n_pad), -2, np.int32)
     qs[:B] = b.q
@@ -191,14 +140,53 @@ def _pallas_bucket_full(mode, b, params, use_jump, pairs, results):
     ns[:B, 0] = b.n
     ms[:B, 0] = b.m
     allow = np.ones((Bp, b.n_pad), np.float32)
-    if mode == "fit" and b.allowed is not None:
+    if b.allowed is not None:
         allow[:B] = b.allowed.astype(np.float32)
     pmat = np.zeros((1, 8), np.float32)
     pmat[0, :5] = [params.match, params.mismatch, params.gap_open,
                    params.gap_extend, params.jump]
-    args = tuple(
-        jnp.asarray(a) for a in (qs, ts, allow, ns, ms, pmat)
-    )
+    dev = tuple(jnp.asarray(a) for a in (qs, ts, allow, ns, ms, pmat))
+    return dev, B, qs, ts
+
+
+def _pallas_bucket_scores(mode, b, params: AlignParams, use_jump: bool):
+    """Score a bucket on the Pallas VMEM kernels (flat or column-blocked);
+    interpret mode on CPU (tests)."""
+    import jax
+
+    from aligntools_tpu.ops import pallas_scan as pk
+
+    interpret = jax.default_backend() != "tpu"
+    blocked = _select.use_blocked(mode, b.n_pad)
+    if blocked and mode not in ("global", "local", "fit"):
+        raise ValueError("blocked kernel covers affine modes only")
+    (qs, ts, allow, ns, ms, pmat), B, _, _ = _kernel_arrays(b, params)
+    if blocked:
+        from aligntools_tpu.ops.pallas_blocked import blocked_scores
+
+        out = blocked_scores(
+            mode, use_jump and mode == "fit", b.m_pad, b.n_pad,
+            _select.BLOCKED_C_BLK, interpret, qs, ts, allow, ns, ms, pmat,
+        )
+    elif mode == "fit":
+        out = pk.pallas_fit_scores(
+            use_jump, b.m_pad, b.n_pad, interpret,
+            qs, ts, allow, ns, ms, pmat,
+        )
+    else:
+        out = pk.pallas_scores(
+            mode, b.m_pad, b.n_pad, interpret, qs, ts, ns, ms, pmat
+        )
+    return np.asarray(out)[:B]
+
+
+def _pallas_bucket_full(mode, b, params, use_jump, pairs, results):
+    """Full-alignment bucket on the pointer-emitting Pallas kernel + the
+    on-device batched walk: the pointer tensor never leaves the chip."""
+    from aligntools_tpu.engine import device_tb
+    from aligntools_tpu.ops import pallas_ptr as pp
+
+    args, B, qs_np, ts_np = _kernel_arrays(b, params)
     score, a, bb, ptrs = pp.pallas_ptr_fill(
         mode, use_jump and mode == "fit", b.m_pad, b.n_pad, False, *args
     )
@@ -219,7 +207,7 @@ def _pallas_bucket_full(mode, b, params, use_jump, pairs, results):
         starts = [(0, b.m[r], int(a[r])) for r in range(B)]
     bpairs = [pairs[k] for k in b.idx]
     rows = device_tb.batch_traceback(
-        mode, ptrs[:B], qs[:B], ts[:B], bpairs, starts, col_base=1
+        mode, ptrs[:B], qs_np[:B], ts_np[:B], bpairs, starts, col_base=1
     )
     for r, k in enumerate(b.idx):
         results[k] = AlignResult(float(score[r]), *rows[r])
