@@ -24,8 +24,6 @@ NumPy/Python version is the always-available fallback and the oracle for it.
 
 from __future__ import annotations
 
-import numpy as np
-
 from aligntools_tpu.engine.scan import (
     PK_J_IS_JUMP,
     PK_L_IS_MID,
@@ -33,7 +31,6 @@ from aligntools_tpu.engine.scan import (
     PK_M_JUMP,
     PK_M_LOW,
     PK_M_MID,
-    PK_M_UNSET,
     PK_M_UPP,
     PK_OV_DIAG,
     PK_OV_LEFT,

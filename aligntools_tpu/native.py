@@ -98,13 +98,17 @@ def parse_records_native(path: str, max_records: int = -1):
         if lib.at_parse_error(h):
             raise OSError(f"cannot open {path}")
         nrec = lib.at_num_records(h)
+        if nrec == 0:
+            return []
         asize = lib.at_arena_size(h)
-        arena = np.ctypeslib.as_array(lib.at_arena(h), shape=(max(asize, 1),))
-        meta = np.ctypeslib.as_array(
-            lib.at_records_meta(h), shape=(max(nrec, 1), 8)
+        # empty std::vector data() is NULL — never wrap a NULL pointer
+        buf = (
+            np.ctypeslib.as_array(lib.at_arena(h), shape=(asize,)).tobytes()
+            if asize > 0
+            else b""
         )
+        meta = np.ctypeslib.as_array(lib.at_records_meta(h), shape=(nrec, 8))
         out = []
-        buf = arena.tobytes()  # one copy out of the C++ arena
         for k in range(nrec):
             (name_off, name_len, c_off, c_len, s_off, s_len, q_off,
              q_len) = (int(x) for x in meta[k])

@@ -23,7 +23,6 @@ from __future__ import annotations
 
 import os
 import sys
-from typing import Sequence
 
 from aligntools_tpu.io.fasta import parse_junctions, read_records
 from aligntools_tpu.params import AlignParams

@@ -81,3 +81,25 @@ def test_traceback_native_parity():
         want = spec.spec_fit(qf, t, p, [3, 7])
         got = scan_align("fit", qf, t, p, [3, 7])
         assert (got.row1, got.row2) == (want.row1, want.row2), i
+
+
+def test_parser_fuzz_no_crash(tmp_path):
+    """Random junk (binary noise, truncated records, giant headers, CRLF,
+    '+' lines in FASTA) must parse without crashing and must agree with the
+    pure-Python parser."""
+    rng = np.random.default_rng(81)
+    for i in range(30):
+        n = int(rng.integers(0, 400))
+        blob = bytes(rng.integers(0, 256, n, dtype=np.uint8).tolist())
+        # bias half the cases toward FASTA-looking content
+        if i % 2:
+            blob = b">" + blob.replace(b"\x00", b"A")
+        path = tmp_path / f"fuzz{i}.fa"
+        path.write_bytes(blob)
+        native_recs = native.parse_records_native(str(path))
+        py_recs = list(fasta.parse_records(open(path, "rb")))
+        assert len(native_recs) == len(py_recs), i
+        for a, b in zip(native_recs, py_recs):
+            assert (a.name, a.comment, a.seq, a.qual) == (
+                b.name, b.comment, b.seq, b.qual,
+            ), i
