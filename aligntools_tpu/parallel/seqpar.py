@@ -65,14 +65,10 @@ def _shift_from_left(row, incoming, axis):
     return jnp.concatenate([from_left[None], row[:-1]]), d
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
-def _seqpar_fill(mode, n_pad, use_jump, mesh, q_arr, t_arr, allow, n, params):
-    """Score one pair with the target sharded over mesh('seq').
-
-    q_arr (m_pad,) replicated; t_arr (n_pad,) sharded; allow (n_pad,) f32
-    sharded (fit); n scalar; params (8,) f32 [match,mis,o,e,jp,m,0,0].
-    """
-    axis = "seq"
+def _seqpar_local_fn(mode, use_jump, axis):
+    """Per-pair local shard body (one device's target block); used by the
+    single-pair path and vmapped over the batch shard in the dp x sp
+    composition."""
 
     def local_fn(q_arr, t_arr, allow, n, params):
         match, mis = params[0], params[1]
@@ -223,6 +219,19 @@ def _seqpar_fill(mode, n_pad, use_jump, mesh, q_arr, t_arr, allow, n, params):
         )
         return acc["best"]
 
+
+    return local_fn
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
+def _seqpar_fill(mode, n_pad, use_jump, mesh, q_arr, t_arr, allow, n, params):
+    """Score one pair with the target sharded over mesh('seq').
+
+    q_arr (m_pad,) replicated; t_arr (n_pad,) sharded; allow (n_pad,) f32
+    sharded (fit); n scalar; params (8,) f32 [match,mis,o,e,jp,m,0,0].
+    """
+    axis = "seq"
+    local_fn = _seqpar_local_fn(mode, use_jump, axis)
     return jax.shard_map(
         local_fn,
         mesh=mesh,
@@ -230,6 +239,88 @@ def _seqpar_fill(mode, n_pad, use_jump, mesh, q_arr, t_arr, allow, n, params):
         out_specs=P(),
         check_vma=False,
     )(q_arr, t_arr, allow, n, params)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
+def _seqpar_fill_batch(mode, n_pad, use_jump, mesh, qs, ts, allows, ns, ps):
+    """dp x sp composition: batch axis sharded over mesh('data'), every
+    pair's target sharded over mesh('seq'). The per-pair row-scan body
+    (with its per-row ppermute/all_gather collectives over 'seq') is
+    vmapped over the local batch shard — collectives over 'seq' commute
+    with vmap over the batch dimension.
+
+    qs (B, m_pad) P('data', None); ts (B, n_pad) P('data', 'seq');
+    allows like ts (f32); ns (B,) P('data'); ps (B, 8) P('data', None).
+    Returns scores (B,) P('data')-sharded.
+    """
+    axis = "seq"
+
+    def local_fn(qs, ts, allows, ns, ps):
+        single = _seqpar_local_fn(mode, use_jump, axis)
+        return jax.vmap(single)(qs, ts, allows, ns, ps)
+
+    return jax.shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(
+            P("data", None), P("data", axis), P("data", axis), P("data"),
+            P("data", None),
+        ),
+        out_specs=P("data"),
+        check_vma=False,
+    )(qs, ts, allows, ns, ps)
+
+
+def seqpar_batch_scores(
+    mode: str,
+    pairs,
+    params: AlignParams = AlignParams(),
+    sites_list=None,
+    mesh: Mesh | None = None,
+):
+    """Batch scoring with BOTH parallel axes: dp over mesh('data'), sp over
+    mesh('seq'). Bit-identical to the single-device engines."""
+    if mesh is None:
+        devs = np.asarray(jax.devices())
+        mesh = Mesh(devs.reshape(2, -1), ("data", "seq"))
+    d_data = mesh.shape["data"]
+    d_seq = mesh.shape["seq"]
+    B = len(pairs)
+    Bp = -(-B // d_data) * d_data
+    m_pad = max(8, max(len(q) for q, _ in pairs))
+    quantum = 128 * d_seq
+    n_max = max(len(t) for _, t in pairs)
+    n_pad = max(quantum, -(-n_max // quantum) * quantum)
+    use_jump = sites_list is not None and mode == "fit"
+    qs = np.full((Bp, m_pad), -1, np.int32)
+    ts = np.full((Bp, n_pad), -2, np.int32)
+    allows = np.ones((Bp, n_pad), np.float32)
+    ns = np.ones(Bp, np.int32)
+    ps = np.zeros((Bp, 8), np.float32)
+    ps[:, :5] = [params.match, params.mismatch, params.gap_open,
+                 params.gap_extend, params.jump]
+    for k, (q, t) in enumerate(pairs):
+        qs[k, : len(q)] = np.frombuffer(q, np.uint8)
+        ts[k, : len(t)] = np.frombuffer(t, np.uint8)
+        ns[k] = len(t)
+        ps[k, 5] = len(q)
+        if use_jump and sites_list[k]:
+            for sx in sites_list[k]:
+                if 0 <= sx < n_pad:
+                    allows[k, sx] = 0.0
+    args = (
+        jax.device_put(jnp.asarray(qs), NamedSharding(mesh, P("data", None))),
+        jax.device_put(jnp.asarray(ts), NamedSharding(mesh, P("data", "seq"))),
+        jax.device_put(jnp.asarray(allows),
+                       NamedSharding(mesh, P("data", "seq"))),
+        jax.device_put(jnp.asarray(ns), NamedSharding(mesh, P("data"))),
+        jax.device_put(jnp.asarray(ps), NamedSharding(mesh, P("data", None))),
+    )
+    out = np.asarray(_seqpar_fill_batch(mode, n_pad, use_jump, mesh, *args))
+    out = out[:B]
+    if mode == "edit":
+        return out.astype(np.int64)
+    return out.astype(np.float64)
 
 
 def seqpar_score(

@@ -29,3 +29,28 @@ def test_seqpar_matches_single_device(mode):
         want = batch_scores(mode, [(q, t)], p,
                             sites_list=[sites] if sites else None)[0]
         assert got == want, (mode, i, m, n)
+
+
+def test_dp_sp_composition():
+    """2D mesh: batch sharded over 'data' x targets sharded over 'seq' —
+    both parallel axes composed in one shard_map, bit-identical scores."""
+    import jax
+    from jax.sharding import Mesh
+    from aligntools_tpu.parallel.seqpar import seqpar_batch_scores
+
+    rng = np.random.default_rng(91)
+    devs = np.asarray(jax.devices())
+    mesh = Mesh(devs.reshape(2, 4), ("data", "seq"))
+    for mode in ("global", "local", "fit", "overlap", "edit"):
+        pairs, sites = [], []
+        for _ in range(5):  # deliberately not a multiple of the data axis
+            m = int(rng.integers(1, 40))
+            n = int(rng.integers(m, 700))
+            pairs.append((bytes(rng.choice(ALPHA, m).tolist()),
+                          bytes(rng.choice(ALPHA, n).tolist())))
+            sites.append(sorted(int(x) for x in rng.integers(0, n, 3)))
+        p = AlignParams(match=2, mismatch=-1, gap_open=-3, gap_extend=-1)
+        sl = sites if mode == "fit" else None
+        got = seqpar_batch_scores(mode, pairs, p, sites_list=sl, mesh=mesh)
+        want = batch_scores(mode, pairs, p, sites_list=sl)
+        assert np.array_equal(got, want), mode
