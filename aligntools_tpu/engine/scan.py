@@ -154,6 +154,8 @@ def global_fill(q_arr, t_arr, n, params, n_pad, emit_ptrs=True):
     match, mismatch, o, e = params[0], params[1], params[2], params[3]
     m = params[5].astype(jnp.int32)
     jidx = jnp.arange(n_pad + 1, dtype=jnp.float32)
+    eq_n = jnp.arange(n_pad + 1) == n  # final-column mask (hoisted: a
+    # dynamic row[n] gather per scan step costs ~2.5x fill throughput)
     # Row 0 borders (alignment.h:428-441): M(0,0)=0, L(0,0)=U(0,0)=o,
     # row0: U(0,j)=o+e*j, M/L=-inf.
     m0 = jnp.full(n_pad + 1, NEG).at[0].set(0.0)
@@ -179,7 +181,11 @@ def global_fill(q_arr, t_arr, n, params, n_pad, emit_ptrs=True):
         else:
             packed = None
         # Latch the (L,M,U) values at (m, n) when this is row m.
-        here = jnp.stack([l_row[n], m_row[n], u_row[n]])
+        here = jnp.stack([
+            jnp.max(jnp.where(eq_n, l_row, NEG)),
+            jnp.max(jnp.where(eq_n, m_row, NEG)),
+            jnp.max(jnp.where(eq_n, u_row, NEG)),
+        ])
         fin = jnp.where(i == m, here, fin)
         return (m_row, l_row, u_row, fin, i), packed
 
@@ -396,6 +402,7 @@ def edit_fill(q_arr, t_arr, n, params, n_pad):
     u = params[1]
     m = params[5].astype(jnp.int32)
     jidx = jnp.arange(n_pad + 1, dtype=jnp.float32)
+    eq_n = jnp.arange(n_pad + 1) == n  # hoisted final-column mask
     row0 = jidx  # M(0,j) = j
 
     def step(carry, qc_i):
@@ -407,7 +414,8 @@ def edit_fill(q_arr, t_arr, n, params, n_pad):
         # row[0]=i; row[j]=min(cand[j], row[j-1]+1) -> slope-1 min-plus scan.
         c = jnp.concatenate([jnp.array([i.astype(jnp.float32)]), cand - jidx[1:]])
         row = jax.lax.cummin(c) + jidx
-        latch = jnp.where(i == m, row[n], latch)
+        fin = jnp.min(jnp.where(eq_n, row, jnp.inf))
+        latch = jnp.where(i == m, fin, latch)
         return (row, latch, i), None
 
     init = (row0, row0[n], jnp.int32(0))

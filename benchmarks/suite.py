@@ -1,0 +1,204 @@
+"""Benchmark suite: GCUPS across modes x engines x shapes on the current
+backend. Writes one JSON object per row to stdout and a markdown table to
+benchmarks/RESULTS.md (pass --no-write to skip).
+
+All timings are amortized over K on-device-chained fills (see bench.py for
+why: the axon tunnel costs 30-90 ms per host call). Run:
+
+    /opt/venv/bin/python benchmarks/suite.py
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import os
+import sys
+import time
+
+try:
+    import numpy as np
+except ImportError:  # bare system python: re-exec under the jax venv
+    venv = "/opt/venv/bin/python"
+    if os.path.exists(venv) and not sys.executable.startswith("/opt/venv/"):
+        os.execv(venv, [venv, os.path.abspath(__file__), *sys.argv[1:]])
+    raise
+
+import jax
+import jax.numpy as jnp
+
+
+def _amortized(run_k, reps=2, k1=1, k2=5):
+    def timed(K):
+        np.asarray(run_k(K))
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            np.asarray(run_k(K))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    return (timed(k2) - timed(k1)) / (k2 - k1)
+
+
+def _chain(one, qs):
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def run_k(K, qs):
+        def body(k, carry):
+            acc, qs = carry
+            sc = one(qs)
+            return acc + sc, qs + (sc * 0).astype(qs.dtype)[:, None]
+
+        acc, _ = jax.lax.fori_loop(0, K, body, (jnp.zeros(qs.shape[0]), qs))
+        return acc
+
+    return lambda K: run_k(K, qs)
+
+
+def bench_case(mode, engine, B, L, rng):
+    from aligntools_tpu.engine import scan as _scan
+    from aligntools_tpu.ops import pallas_scan as pk
+
+    alpha = np.frombuffer(b"ACGT", dtype=np.uint8)
+    qs = rng.choice(alpha, (B, L)).astype(np.int32)
+    ts = jnp.asarray(rng.choice(alpha, (B, L)).astype(np.int32))
+    if engine == "xla":
+        ns = jnp.asarray(np.full(B, L, np.int32))
+        ps = np.zeros((B, 6), np.float32)
+        ps[:, :5] = [1, -2, -5, -1, -10]
+        ps[:, 5] = L
+        ps = jnp.asarray(ps)
+        fill = {
+            "global": _scan.global_fill,
+            "local": _scan.local_fill,
+            "overlap": _scan.overlap_fill,
+            "edit": _scan.edit_fill,
+        }[mode]
+
+        if mode == "edit":
+            def one(qs):
+                return jax.vmap(
+                    lambda q, t, n, p: fill(q, t, n, p, L)
+                )(qs, ts, ns, ps)
+        else:
+            def one(qs):
+                return jax.vmap(
+                    lambda q, t, n, p: fill(q, t, n, p, L, False)
+                )(qs, ts, ns, ps)[0]
+    else:  # pallas
+        ns = jnp.asarray(np.full((B, 1), L, np.int32))
+        ms = jnp.asarray(np.full((B, 1), L, np.int32))
+        pm = np.zeros((1, 8), np.float32)
+        pm[0, :5] = [1, -2, -5, -1, -10]
+        pm = jnp.asarray(pm)
+
+        def one(qs):
+            return pk.pallas_scores(mode, L, L, False, qs, ts, ns, ms, pm)
+
+    per = _amortized(_chain(one, jnp.asarray(qs)))
+    return B * L * L / per / 1e9, per
+
+
+def bench_fit_jump(engine, B, m, L, rng):
+    from aligntools_tpu.engine import scan as _scan
+    from aligntools_tpu.ops import pallas_scan as pk
+    from aligntools_tpu.ops.pallas_blocked import blocked_scores
+
+    alpha = np.frombuffer(b"ACGT", dtype=np.uint8)
+    qs = rng.choice(alpha, (B, m)).astype(np.int32)
+    ts = jnp.asarray(rng.choice(alpha, (B, L)).astype(np.int32))
+    allow = np.ones((B, L), np.float32)
+    allow[:, :: max(L // 16, 1)] = 0.0  # some junction columns
+    allow = jnp.asarray(allow)
+    if engine == "xla":
+        ns = jnp.asarray(np.full(B, L, np.int32))
+        ps = np.zeros((B, 6), np.float32)
+        ps[:, :5] = [1, -2, -5, -1, -10]
+        ps[:, 5] = m
+        ps = jnp.asarray(ps)
+        allow_b = allow > 0.0
+
+        def one(qs):
+            return jax.vmap(
+                lambda q, t, a, n, p: _scan.fit_fill(
+                    q, t, n, p, a, L, True, False
+                )
+            )(qs, ts, allow_b, ns, ps)[0]
+    else:
+        ns = jnp.asarray(np.full((B, 1), L, np.int32))
+        ms = jnp.asarray(np.full((B, 1), m, np.int32))
+        pm = np.zeros((1, 8), np.float32)
+        pm[0, :5] = [1, -2, -5, -1, -10]
+        pm = jnp.asarray(pm)
+        if engine == "blocked":
+            def one(qs):
+                return blocked_scores(
+                    "fit", True, m, L, 8192, False, qs, ts, allow, ns, ms, pm
+                )
+        else:
+            def one(qs):
+                return pk.pallas_fit_scores(
+                    True, m, L, False, qs, ts, allow, ns, ms, pm
+                )
+
+    per = _amortized(_chain(one, jnp.asarray(qs)))
+    return B * m * L / per / 1e9, per
+
+
+def main():
+    rng = np.random.default_rng(0)
+    rows = []
+
+    def emit(row):
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+
+    for mode in ("local", "global", "overlap", "edit"):
+        for B, L in ((256, 2048), (32, 8192)):
+            for engine in ("xla", "pallas"):
+                try:
+                    g, per = bench_case(mode, engine, B, L, rng)
+                    emit({"case": f"{mode} {B}x{L}^2", "engine": engine,
+                          "gcups": round(g, 1),
+                          "fill_ms": round(per * 1e3, 2)})
+                except Exception as err:
+                    emit({"case": f"{mode} {B}x{L}^2", "engine": engine,
+                          "error": str(err)[:120]})
+    # fit with jump: the reference's marquee workload shapes
+    for engine, B, m, L in (
+        ("xla", 64, 512, 32768),
+        ("pallas", 64, 512, 32768),
+        ("blocked", 8, 2048, 131072),
+    ):
+        try:
+            g, per = bench_fit_jump(engine, B, m, L, rng)
+            emit({"case": f"fit+jump {B}x({m}x{L})", "engine": engine,
+                  "gcups": round(g, 1), "fill_ms": round(per * 1e3, 2)})
+        except Exception as err:
+            emit({"case": f"fit+jump {B}x({m}x{L})", "engine": engine,
+                  "error": str(err)[:120]})
+
+    if "--no-write" not in sys.argv:
+        dev = jax.devices()[0]
+        lines = [
+            "# Benchmark results",
+            "",
+            f"Backend: {dev.platform} ({dev.device_kind}); score-only "
+            "fills, amortized on-device timing (see bench.py).",
+            "",
+            "| case | engine | GCUPS | fill ms |",
+            "|---|---|---|---|",
+        ]
+        for r in rows:
+            lines.append(
+                f"| {r['case']} | {r['engine']} | "
+                f"{r.get('gcups', 'ERR')} | {r.get('fill_ms', '-')} |"
+            )
+        out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "RESULTS.md")
+        with open(out, "w") as f:
+            f.write("\n".join(lines) + "\n")
+
+
+if __name__ == "__main__":
+    main()
