@@ -136,10 +136,9 @@ def test_device_traceback_matches_host(mode):
         pairs.append((q, t))
     p = AlignParams(match=2, mismatch=-3, gap_open=-4, gap_extend=-1)
     want = align_batch(mode, pairs, p)
-    (key, b), = _bucketize(pairs, None).items() if len(
-        _bucketize(pairs, None)) == 1 else (None, None)
-    if b is None:
-        pytest.skip("multiple buckets; single-bucket test")
+    buckets = _bucketize(pairs, None)
+    assert len(buckets) == 1, "lengths chosen to land in one bucket"
+    (b,) = buckets.values()
     ps = _params_mat(p, b.m)
     ns = jnp.asarray(b.n)
     qs, ts = jnp.asarray(b.q), jnp.asarray(b.t)

@@ -112,3 +112,26 @@ def test_batch_cli_sharded(tmp_path, capsys):
     p = AlignParams()
     for k, ln in enumerate(lines):
         assert float(ln.split("\t")[2]) == spec.spec_global(*pairs[k], p).score
+
+
+def test_batch_cli_matches_reference_binary(tmp_path, capsys, ref_run):
+    """End-to-end integration: `aligntools batch` TSV scores+rows vs the
+    reference binary run pair-by-pair on the same inputs."""
+    path, pairs, _ = _make_fasta(tmp_path, 6, seed=13)
+    rc = main(["aligntools", "batch", "global", path])
+    cap = capsys.readouterr()
+    assert rc == 0
+    lines = cap.out.strip().splitlines()
+    for k, ln in enumerate(lines):
+        _, _, score, r1, r2 = ln.split("\t")
+        fa = tmp_path / f"single{k}.fa"
+        q, t = pairs[k]
+        fa.write_text(f">q\n{q.decode()}\n>t\n{t.decode()}\n")
+        ref_lines, ref_rc = ref_run("global", str(fa))
+        assert ref_rc == 0
+        assert f"score={float(score):.6f}" == ref_lines[0], k
+        # rows comparable when the reference's strrev bug didn't corrupt them
+        if (len(ref_lines[1]) == len(ref_lines[2])
+                and ref_lines[1].replace("-", "") == q.decode()
+                and ref_lines[2].replace("-", "") == t.decode()):
+            assert (r1, r2) == (ref_lines[1], ref_lines[2]), k
