@@ -145,6 +145,28 @@ def _select_backend() -> None:
         jax.config.update("jax_platforms", want)
     except Exception:
         pass  # unknown backend names surface on first jax use
+    _enable_compile_cache()
+
+
+def _enable_compile_cache() -> None:
+    """Persistent XLA compilation cache: each CLI invocation is a fresh
+    process, so without it every run recompiles its bucket kernels.
+    CPU-backend only: executables deserialized from the cache fail with
+    FAILED_PRECONDITION under the axon remote-compile TPU backend."""
+    try:
+        import jax
+
+        if jax.config.jax_platforms not in ("cpu",):
+            return
+        cache = os.environ.get(
+            "ALIGNTOOLS_JAX_CACHE",
+            os.path.expanduser("~/.cache/aligntools-jax"),
+        )
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
 
 
 def run_batch(args: list[str]) -> int:
@@ -212,6 +234,8 @@ def main(argv: list[str] | None = None) -> int:
         # ALIGNTOOLS_DEVICE / --device override.
         if os.environ.get("ALIGNTOOLS_DEVICE"):
             _select_backend()
+        else:
+            _enable_compile_cache()
         return run_batch(argv[2:])
     _select_backend()
     if len(argv) < 2:
