@@ -158,8 +158,6 @@ def _pallas_bucket_scores(mode, b, params: AlignParams, use_jump: bool):
 
     interpret = jax.default_backend() != "tpu"
     blocked = _select.use_blocked(mode, b.n_pad)
-    if blocked and mode not in ("global", "local", "fit"):
-        raise ValueError("blocked kernel covers affine modes only")
     (qs, ts, allow, ns, ms, pmat), B, _, _ = _kernel_arrays(b, params)
     if blocked:
         from aligntools_tpu.ops.pallas_blocked import blocked_scores

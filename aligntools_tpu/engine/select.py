@@ -48,9 +48,6 @@ def use_pallas(batch: int, m_pad: int, n_pad: int, mode: str = "local") -> bool:
 
 
 def use_blocked(mode: str, n_pad: int) -> bool:
-    """Column-blocked streaming kernel: long targets, affine modes.
-    (overlap/edit at >32k columns stay on the XLA engine — rare shapes;
-    measured 18.4 GCUPS for fit at 2048x131072 vs ~2-4 on XLA.)"""
-    return n_pad > PALLAS_FLAT_MAX_N_PAD and mode in (
-        "global", "local", "fit",
-    )
+    """Column-blocked streaming kernel for long targets — all five modes
+    (measured 18.4 GCUPS for fit at 2048x131072 vs ~2-4 on XLA)."""
+    return n_pad > PALLAS_FLAT_MAX_N_PAD

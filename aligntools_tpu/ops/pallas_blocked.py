@@ -36,6 +36,7 @@ from jax.experimental.pallas import tpu as pltpu
 from aligntools_tpu.ops.pallas_scan import (
     TILE_B,
     _cummax_lanes,
+    _cummin_lanes,
     _row_char,
     _shift_in,
 )
@@ -67,11 +68,11 @@ def _blocked_affine_kernel(mode, use_jump, m_pad, c_blk, q_ref, t_ref,
     zbnd = qf * 0.0  # natural-layout (8, m_pad) zeros
     if use_jump:
         allow = allow_ref[:, :]
-    if mode == "global":
+    if mode in ("global", "edit"):
         mask_fin = jcol == n_col
     elif mode == "local":
         mask_fin = jcol <= n_col
-    else:  # fit
+    else:  # fit / overlap: bottom-row scan excludes the last column
         mask_fin = jcol <= n_col - 1
 
     # previous block's edges (rows 1..m_pad at lane idx = row-1)
@@ -89,14 +90,28 @@ def _blocked_affine_kernel(mode, use_jump, m_pad, c_blk, q_ref, t_ref,
         m_init = zrow
         l_init = zrow
         u_init = zrow
-    else:  # fit: row0 M=U=0, L=J=-inf
+    elif mode == "fit":  # row0 M=U=0, L=J=-inf
         m_init = zrow
         l_init = zrow + NEG
         u_init = zrow
+    elif mode == "overlap":  # row0 = -inf for j >= 1 (col0 handled as edge)
+        m_init = zrow + NEG
+        l_init = u_init = zrow
+    else:  # edit: M(0,j) = j (global column index)
+        m_init = zrow + jcol_f
+        l_init = u_init = zrow
     j_init = zrow + NEG
 
     gj0 = jnp.float32(col0)
-    if mode == "global":
+    if mode in ("overlap", "edit"):
+        # single-matrix modes: only the M edge is meaningful
+        e0 = (jnp.where(first_blk, 0.0, NEG), NEG, NEG, NEG)
+        if mode == "overlap":
+            # M(0,j)=-inf for j>=1; M(0,0)=0
+            pass
+        else:  # edit M(0,j) = j
+            e0 = (gj0, NEG, NEG, NEG)
+    elif mode == "global":
         # block c-1's last-column value of the INIT row (analytic):
         # M(0,j)=-inf (j>0) / 0 at j=0; L likewise with o; U(0,j)=o+e*j
         e0 = (
@@ -116,6 +131,10 @@ def _blocked_affine_kernel(mode, use_jump, m_pad, c_blk, q_ref, t_ref,
             return NEG, o + e * i_f, NEG, NEG
         if mode == "local":
             return 0.0, 0.0, 0.0, NEG
+        if mode == "overlap":
+            return 0.0, NEG, NEG, NEG  # M(i,0)=0 (col0 loop, :938)
+        if mode == "edit":
+            return i_f, NEG, NEG, NEG  # M(i,0)=i (:301)
         return NEG, NEG, NEG, NEG  # fit col0 all -inf for i >= 1
 
     def row(idx, carry):
@@ -123,7 +142,6 @@ def _blocked_affine_kernel(mode, use_jump, m_pad, c_blk, q_ref, t_ref,
         i = idx + 1
         i_f = jnp.float32(idx) + 1.0
         qc = _row_char(qf, iota_col, idx, c_blk)
-        sub = jnp.where(t == qc, match, mis)
         # previous block's edges at rows idx (-> row i-1... stored at lane
         # r-1 for row r) and idx+1? Layout: old*[ :, r-1] = edge of row r.
         # diag needs edge of row i-1 = lane idx-1; seeds need row i = lane
@@ -151,6 +169,47 @@ def _blocked_affine_kernel(mode, use_jump, m_pad, c_blk, q_ref, t_ref,
             return r[:, 0:1], r[:, 1:2]
 
         eM_prev, eM_cur = edges(oldM)
+        if mode in ("overlap", "edit"):
+            bM0, _, _, _ = border_cols(i_f - 1.0)
+            sh_m = jnp.where(
+                first_blk, zcol + bM0,
+                jnp.where(idx == 0, zcol + e0[0], eM_prev),
+            )
+            bMi, _, _, _ = border_cols(i_f)
+            m_edge_cur = jnp.where(first_blk, zcol + bMi, eM_cur)
+            if mode == "overlap":
+                sub = jnp.where(t == qc, match, mis)
+                dr = jnp.maximum(_shift_in(mp, sh_m) + sub, mp + o)
+                seed_w = m_edge_cur - o * gj0
+                w = jnp.maximum(
+                    _cummax_lanes(dr - o * jcol_f),
+                    jnp.broadcast_to(seed_w, (TILE_B, c_blk)),
+                )
+                m_row = w + o * jcol_f
+                rowmax = jnp.max(
+                    jnp.where(mask_fin, m_row, NEG), axis=1, keepdims=True
+                )
+                rowmax = jnp.maximum(rowmax, 0.0)  # j=0 zero candidate
+                acc = jnp.where(i == m_col, rowmax, acc)
+            else:  # edit: min-plus, indel hardcoded 1
+                sub = jnp.where(t == qc, 0.0, mis)
+                cand = jnp.minimum(_shift_in(mp, sh_m) + sub, mp + 1.0)
+                seed_w = m_edge_cur - gj0
+                w = jnp.minimum(
+                    _cummin_lanes(cand - jcol_f),
+                    jnp.broadcast_to(seed_w, (TILE_B, c_blk)),
+                )
+                m_row = w + jcol_f
+                fin = jnp.min(
+                    jnp.where(mask_fin, m_row, jnp.inf), axis=1,
+                    keepdims=True,
+                )
+                acc = jnp.where(i == m_col, fin, acc)
+            sel = iota_row == idx
+            nM = jnp.where(
+                sel, jnp.broadcast_to(m_row[:, -1:], (TILE_B, m_pad)), nM
+            )
+            return m_row, lp, up, jpr, nM, nL, nU, nJ, acc
         eL_prev, _ = edges(oldL)
         eU_prev, eU_cur = edges(oldU)
         eJ_prev, eJ_cur = edges(oldJ)
@@ -179,6 +238,7 @@ def _blocked_affine_kernel(mode, use_jump, m_pad, c_blk, q_ref, t_ref,
             first_blk, zcol + bJ,
             jnp.where(idx == 0, zcol + e0[3], eJ_prev),
         )
+        sub = jnp.where(t == qc, match, mis)
         diag = jnp.maximum(
             jnp.maximum(_shift_in(lp, sh_l), _shift_in(mp, sh_m)),
             _shift_in(up, sh_u),
@@ -242,10 +302,11 @@ def _blocked_affine_kernel(mode, use_jump, m_pad, c_blk, q_ref, t_ref,
             acc = jnp.where(i == m_col, rowmax, acc)
         return m_row, l_row, u_row, j_row, nM, nL, nU, nJ, acc
 
+    acc_init = zcol + (jnp.inf if mode == "edit" else NEG)
     init = (
         m_init, l_init, u_init, j_init,
         zbnd + NEG, zbnd + NEG, zbnd + NEG, zbnd + NEG,
-        zcol + NEG,
+        acc_init,
     )
     out = jax.lax.fori_loop(0, m_pad, row, init)
     nM, nL, nU, nJ, acc = out[4], out[5], out[6], out[7], out[8]
@@ -253,8 +314,12 @@ def _blocked_affine_kernel(mode, use_jump, m_pad, c_blk, q_ref, t_ref,
     bnd_ref[1, :, :] = nL
     bnd_ref[2, :, :] = nU
     bnd_ref[3, :, :] = nJ
-    prev = jnp.where(first_blk, zcol + NEG, out_ref[:, :])
-    out_ref[:, :] = jnp.maximum(prev, acc)
+    if mode == "edit":
+        prev = jnp.where(first_blk, zcol + jnp.inf, out_ref[:, :])
+        out_ref[:, :] = jnp.minimum(prev, acc)
+    else:
+        prev = jnp.where(first_blk, zcol + NEG, out_ref[:, :])
+        out_ref[:, :] = jnp.maximum(prev, acc)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5))

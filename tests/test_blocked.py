@@ -33,6 +33,7 @@ def _bucket(pairs, m_pad, n_pad, sites=None):
 
 @pytest.mark.parametrize("mode,use_jump", [
     ("global", False), ("local", False), ("fit", False), ("fit", True),
+    ("overlap", False), ("edit", False),
 ])
 def test_blocked_matches_xla(mode, use_jump):
     rng = np.random.default_rng(61)
@@ -57,4 +58,6 @@ def test_blocked_matches_xla(mode, use_jump):
     )).astype(np.float64)
     want = batch_scores(mode, pairs, p,
                         sites_list=sites if use_jump else None)
+    if mode == "edit":
+        got = got.astype(np.int64)
     assert np.array_equal(got, want)
