@@ -55,6 +55,7 @@ def _usage() -> int:
         "         overlap    overlap alignment\n"
         "         edit       edit distance\n"
         "         batch      many-pair batched pipeline (TSV output)\n"
+        "         serve      long-lived request loop (stdin/stdout)\n"
         "\n"
     )
     return 1
@@ -192,6 +193,8 @@ def run_batch(args: list[str]) -> int:
                     help="fit: junction sites from each target's comment")
     ap.add_argument("--scores-only", action="store_true",
                     help="skip traceback (fastest)")
+    ap.add_argument("--cigar", action="store_true",
+                    help="emit CIGAR strings instead of gapped rows")
     ap.add_argument("--sharded", action="store_true",
                     help="data-parallel over all devices (scores only)")
     ap.add_argument("--chunk-size", type=int, default=512)
@@ -217,7 +220,7 @@ def run_batch(args: list[str]) -> int:
             ns.mode, ns.fasta, p, use_sites=ns.s,
             scores_only=ns.scores_only, sharded=ns.sharded,
             chunk_size=ns.chunk_size, manifest_path=ns.resume,
-            trace_dir=ns.trace, engine=ns.engine,
+            trace_dir=ns.trace, engine=ns.engine, cigar=ns.cigar,
         )
     except (OSError, ValueError, RuntimeError) as err:
         sys.stderr.write(f"FATAL ERROR: {err}\n")
@@ -228,6 +231,16 @@ def run_batch(args: list[str]) -> int:
 
 def main(argv: list[str] | None = None) -> int:
     argv = list(sys.argv if argv is None else argv)
+    if len(argv) >= 2 and argv[1] == "serve":
+        # long-lived request loop (keeps compiled kernels warm); targets
+        # the device by default like `batch`
+        if os.environ.get("ALIGNTOOLS_DEVICE"):
+            _select_backend()
+        else:
+            _enable_compile_cache()
+        from aligntools_tpu.serve import serve
+
+        return serve()
     if len(argv) >= 2 and argv[1] == "batch":
         # batch is the only surface that targets the device by default
         # (keeps the container's JAX_PLATFORMS, i.e. the TPU when present);

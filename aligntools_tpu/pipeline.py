@@ -55,6 +55,7 @@ def run_pipeline(
     out=None,
     trace_dir: str | None = None,
     engine: str = "auto",
+    cigar: bool = False,
 ) -> Counters:
     """Align every pair in ``path``; returns run counters."""
     from aligntools_tpu.batch import align_batch, batch_scores
@@ -115,6 +116,13 @@ def run_pipeline(
                 elif scores_only or sharded:
                     score = r if isinstance(r, float) else float(r)
                     lines.append(f"{name1}\t{name2}\t{score:.6f}")
+                elif cigar:
+                    from aligntools_tpu.utils.cigar import rows_to_cigar
+
+                    lines.append(
+                        f"{name1}\t{name2}\t{r.score:.6f}\t"
+                        f"{rows_to_cigar(r.row1, r.row2)}"
+                    )
                 else:
                     lines.append(
                         f"{name1}\t{name2}\t{r.score:.6f}\t"

@@ -135,3 +135,47 @@ def test_batch_cli_matches_reference_binary(tmp_path, capsys, ref_run):
                 and ref_lines[1].replace("-", "") == q.decode()
                 and ref_lines[2].replace("-", "") == t.decode()):
             assert (r1, r2) == (ref_lines[1], ref_lines[2]), k
+
+
+def test_cigar_output(tmp_path, capsys):
+    from aligntools_tpu.utils.cigar import rows_to_cigar
+
+    assert rows_to_cigar(b"AC-GT", b"ACAG-") == "2M1D1M1I"
+    assert rows_to_cigar(b"ACGT", b"AGGT", extended=True) == "1=1X2="
+    assert rows_to_cigar(b"", b"") == ""
+    path, pairs, _ = _make_fasta(tmp_path, 3, seed=21)
+    rc = main(["aligntools", "batch", "global", "--cigar", path])
+    out = capsys.readouterr().out.strip().splitlines()
+    assert rc == 0
+    p = AlignParams()
+    for k, ln in enumerate(out):
+        _, _, score, cg = ln.split("\t")
+        w = spec.spec_global(*pairs[k], p)
+        assert float(score) == w.score
+        assert cg == rows_to_cigar(w.row1, w.row2)
+
+
+def test_serve_loop(tmp_path):
+    import io
+
+    from aligntools_tpu.serve import serve
+
+    path, pairs, _ = _make_fasta(tmp_path, 3, seed=23)
+    req = io.StringIO(
+        f"local {path} m=2 scores_only\n"
+        "bogus_mode_line\n"
+        f"edit {path}\n"
+        "quit\n"
+        f"local {path}\n"  # after quit: never processed
+    )
+    out = io.StringIO()
+    assert serve(req, out) == 0
+    lines = out.getvalue().splitlines()
+    dones = [ln for ln in lines if ln.startswith("#done")]
+    errs = [ln for ln in lines if ln.startswith("#error")]
+    assert len(dones) == 2 and len(errs) == 1
+    p2 = AlignParams(match=2)
+    tsv = [ln for ln in lines if not ln.startswith("#")]
+    assert float(tsv[0].split("\t")[2]) == spec.spec_local(*pairs[0], p2).score
+    # requests after quit are not processed
+    assert len(tsv) == 6  # 3 local scores + 3 edit distances
