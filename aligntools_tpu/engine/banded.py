@@ -1,0 +1,239 @@
+"""Banded DP: restrict the fill to a diagonal band |j - i| <= W.
+
+The reference always fills the full O(m*n) table; for similar-length pairs
+(read-vs-read, consensus polishing) the optimal path stays near the main
+diagonal and a band of half-width W does O(m*W) work instead — here that
+is a REAL compute saving, not just masking: DP rows are stored in
+window coordinates (k = j - i + W, a (2W+1)-lane vector that slides right
+one column per row), so vector width is the band, not the target.
+
+Window-coordinate dependency map (window of row i starts at j0 = i - W):
+  * diagonal (i-1, j-1): previous window, SAME k (the slide cancels the
+    column shift) — no lane shift at all;
+  * vertical (i-1, j): previous window at k+1 — shift left one lane;
+  * horizontal (i, j-1): k-1 — the usual in-row max-plus prefix scan.
+The target slice for row i is ``t_ext[i-1 : i-1+V]`` where t_ext carries
+W pad columns on the left, so no per-row index arithmetic survives.
+
+Semantics: identical to the full engines whenever the optimal path stays
+strictly inside the band; out-of-band cells are -inf. Exactness is
+verifiable cheaply: ``edge_best`` returns the best M value ON the band
+boundary — if ``edge_best + (remaining best-case gain)`` cannot reach the
+returned score the band provably did not clip the optimum; the simple
+production protocol is to double W until the score stops changing (tested
+in tests/test_banded.py). Requires |n - m| <= W (the end cell must be in
+band). Score-only; modes global and local.
+
+Reference recurrences: src/alignment.h:417-473 (global), 805-847 (local).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from aligntools_tpu.params import AlignParams
+
+NEG = -jnp.inf
+
+
+@functools.partial(jax.jit, static_argnums=(0, 4))
+def banded_fill(mode, q_arr, t_ext, n, w_pad, params):
+    """One pair, banded. q_arr (m_pad,) i32; t_ext (W + n_pad + V,) i32
+    (W left-pad columns then the target); n true length; w_pad = W
+    (static); params (8,) f32 [match,mis,o,e,_,m,_,_]. Returns
+    (score f32, edge_best f32)."""
+    match, mis = params[0], params[1]
+    o, e = params[2], params[3]
+    m = params[5].astype(jnp.int32)
+    V = 2 * w_pad + 1
+    kidx = jnp.arange(V, dtype=jnp.int32)  # window lane -> k
+
+    # row 0: window covers j = k - W for k in [0, V)
+    j_row0 = kidx - w_pad
+    if mode == "global":
+        m0 = jnp.where(j_row0 == 0, 0.0, NEG)
+        l0 = jnp.where(j_row0 == 0, o, NEG)
+        u0 = jnp.where(
+            j_row0 >= 0, o + e * j_row0.astype(jnp.float32), NEG
+        )
+    else:  # local: zero borders; out-of-range still -inf (outside matrix)
+        valid0 = j_row0 >= 0
+        m0 = jnp.where(valid0, 0.0, NEG)
+        l0 = jnp.where(valid0, 0.0, NEG)
+        u0 = jnp.where(valid0, 0.0, NEG)
+
+    def step(carry, xs):
+        mp, lp, up, best, edge, i = carry
+        qc = xs
+        i = i + 1
+        i_f = i.astype(jnp.float32)
+        jcol = i - w_pad + kidx  # global j of each lane this row
+        jf = jcol.astype(jnp.float32)
+        in_mat = (jcol >= 1) & (jcol <= n) & (i <= m)
+        # lane k holds global column j = i - W + k, i.e. t[j-1] at
+        # t_ext[W + j - 1] = t_ext[(i - 1) + k]
+        tw = jax.lax.dynamic_slice(t_ext, (i - 1,), (V,))
+        sub = jnp.where(tw == qc, match, mis)
+        # previous-row views in this row's window coordinates
+        diag_m, diag_l, diag_u = mp, lp, up  # same k
+        vert_m = jnp.concatenate([mp[1:], jnp.full(1, NEG)])  # k+1
+        vert_l = jnp.concatenate([lp[1:], jnp.full(1, NEG)])
+        # column-0 borders appear at lane k where jcol == 0
+        at_j0 = jcol == 0
+        at_j0_diag = jcol == 1  # diag pred (i-1, 0) sits at this row's j==1
+        if mode == "global":
+            bM_d = jnp.where(i - 1 == 0, 0.0, NEG)  # M(i-1, 0)
+            bL_d = o + e * (i_f - 1.0)
+            bU_d = jnp.where(i - 1 == 0, o, NEG)
+            diag_m = jnp.where(at_j0_diag, bM_d, diag_m)
+            diag_l = jnp.where(at_j0_diag, bL_d, diag_l)
+            diag_u = jnp.where(at_j0_diag, bU_d, diag_u)
+            vert_m = jnp.where(at_j0, NEG, vert_m)  # M(i,0) unused; vert is
+            vert_l = jnp.where(at_j0, bL_d, vert_l)  # L(i-1,0)=o+e(i-1)
+        else:
+            diag_m = jnp.where(at_j0_diag, 0.0, diag_m)
+            diag_l = jnp.where(at_j0_diag, 0.0, diag_l)
+            diag_u = jnp.where(at_j0_diag, 0.0, diag_u)
+            vert_m = jnp.where(at_j0, 0.0, vert_m)
+            vert_l = jnp.where(at_j0, 0.0, vert_l)
+        m_row = jnp.maximum(jnp.maximum(diag_l, diag_m), diag_u) + sub
+        if mode == "local":
+            m_row = jnp.maximum(m_row, 0.0)
+        m_row = jnp.where(in_mat, m_row, NEG)
+        l_row = jnp.maximum(vert_l + e, vert_m + o)
+        l_row = jnp.where(in_mat, l_row, NEG)
+        # U scan along the window (horizontal chain): exact within the
+        # band because out-of-band predecessors are -inf
+        u_seed = 0.0 if mode == "local" else NEG
+        cand = jnp.concatenate(
+            [jnp.full(1, NEG), m_row[:-1] + o - e * jf[1:]]
+        )
+        # the j==0 borders enter where the chain crosses column 0: the
+        # U(i,0)=0 seed at lane j==0 and the M(i,0)=0 open candidate at
+        # lane j==1 (matters when o > e)
+        if mode == "local":
+            cand = jnp.where(at_j0, 0.0 - e * jf, cand)
+            cand = jnp.where(
+                at_j0_diag, jnp.maximum(cand, 0.0 + o - e * jf), cand
+            )
+        u_row = jax.lax.cummax(cand)
+        u_row = jnp.maximum(u_row, u_seed) + e * jf
+        u_row = jnp.where(in_mat, u_row, NEG)
+        # score tracking
+        if mode == "global":
+            fin = jnp.max(
+                jnp.where(
+                    jcol == n,
+                    jnp.maximum(jnp.maximum(l_row, m_row), u_row),
+                    NEG,
+                )
+            )
+            best = jnp.where(i == m, fin, best)
+        else:
+            best = jnp.maximum(best, jnp.max(m_row))
+        # band-boundary diagnostic (lanes 0 and V-1)
+        edge = jnp.maximum(
+            edge, jnp.maximum(m_row[0], m_row[V - 1])
+        )
+        return (m_row, l_row, u_row, best, edge, i), None
+
+    init = (m0, l0, u0, NEG, NEG, jnp.int32(0))
+    (_, _, _, best, edge, _), _ = jax.lax.scan(
+        step, init, q_arr.astype(jnp.float32), unroll=4
+    )
+    return best, edge
+
+
+def banded_score(
+    mode: str,
+    q: bytes,
+    t: bytes,
+    band: int,
+    params: AlignParams = AlignParams(),
+):
+    """Banded score for one pair; returns (score, edge_best). Raises if the
+    end cell cannot be in band (|n - m| > band)."""
+    if mode not in ("global", "local"):
+        raise ValueError("banded engine covers global and local modes")
+    m, n = len(q), len(t)
+    if mode == "global" and abs(n - m) > band:
+        raise ValueError(
+            f"band {band} cannot contain the end cell (|n-m|={abs(n - m)})"
+        )
+    V = 2 * band + 1
+    qa = np.full(m, -1, np.int32)
+    qa[:] = np.frombuffer(q, np.uint8)
+    t_ext = np.full(band + n + V + 1, -2, np.int32)
+    t_ext[band : band + n] = np.frombuffer(t, np.uint8)
+    pv = np.array(
+        [params.match, params.mismatch, params.gap_open, params.gap_extend,
+         params.jump, m, 0, 0],
+        np.float32,
+    )
+    score, edge = banded_fill(
+        mode, jnp.asarray(qa), jnp.asarray(t_ext), jnp.int32(n), band,
+        jnp.asarray(pv),
+    )
+    return float(score), float(edge)
+
+
+def banded_batch_scores(
+    mode: str,
+    pairs,
+    band: int,
+    params: AlignParams = AlignParams(),
+):
+    """Batched banded scores (vmapped single-pair fill); all pairs share
+    one band and padded shapes. Returns (scores, edge_best) float arrays."""
+    B = len(pairs)
+    m_pad = max(len(q) for q, _ in pairs)
+    n_max = max(len(t) for _, t in pairs)
+    V = 2 * band + 1
+    qs = np.full((B, m_pad), -1, np.int32)
+    te = np.full((B, band + n_max + V + 1), -2, np.int32)
+    ns = np.zeros(B, np.int32)
+    ps = np.zeros((B, 8), np.float32)
+    ps[:, :4] = [params.match, params.mismatch, params.gap_open,
+                 params.gap_extend]
+    for k, (q, t) in enumerate(pairs):
+        if mode == "global" and abs(len(t) - len(q)) > band:
+            raise ValueError("band cannot contain the end cell")
+        qs[k, : len(q)] = np.frombuffer(q, np.uint8)
+        te[k, band : band + len(t)] = np.frombuffer(t, np.uint8)
+        ns[k] = len(t)
+        ps[k, 5] = len(q)
+    import jax
+
+    out = jax.jit(
+        jax.vmap(lambda q, t, n, p: banded_fill(mode, q, t, n, band, p)),
+        static_argnums=(),
+    )(jnp.asarray(qs), jnp.asarray(te), jnp.asarray(ns), jnp.asarray(ps))
+    return np.asarray(out[0], np.float64), np.asarray(out[1], np.float64)
+
+
+def banded_score_auto(
+    mode: str,
+    q: bytes,
+    t: bytes,
+    params: AlignParams = AlignParams(),
+    band0: int | None = None,
+):
+    """Score with band doubling until convergence — returns the exact
+    unbanded score with banded cost when the optimal path is central
+    (verified against the full engine in tests)."""
+    m, n = len(q), len(t)
+    band = band0 if band0 is not None else max(32, abs(n - m) + 16)
+    prev = None
+    while True:
+        band = min(band, max(m, n))
+        score, _ = banded_score(mode, q, t, band, params)
+        if prev is not None and score == prev:
+            return score, band
+        if band >= max(m, n):
+            return score, band  # band covers the whole matrix: exact
+        prev = score
+        band *= 2

@@ -1,0 +1,72 @@
+"""Banded engine: exact vs the full engine when the band contains the
+optimal path; band-doubling auto mode converges to the exact score."""
+
+import numpy as np
+import pytest
+
+from aligntools_tpu.batch import batch_scores
+from aligntools_tpu.engine.banded import banded_score, banded_score_auto
+from aligntools_tpu.params import AlignParams
+
+ALPHA = list(b"ACGT")
+
+
+def _similar_pair(rng, n, mutations, indels):
+    """A pair differing by point mutations and small indels — the banded
+    use case (optimal path near the main diagonal)."""
+    q = rng.choice(ALPHA, n).astype(np.uint8)
+    t = list(q.tolist())
+    for _ in range(mutations):
+        t[int(rng.integers(0, len(t)))] = int(rng.choice(ALPHA))
+    for _ in range(indels):
+        pos = int(rng.integers(0, len(t)))
+        if rng.random() < 0.5 and len(t) > 2:
+            del t[pos]
+        else:
+            t.insert(pos, int(rng.choice(ALPHA)))
+    return bytes(q.tolist()), bytes(t)
+
+
+@pytest.mark.parametrize("mode", ["global", "local"])
+def test_full_band_equals_unbanded(mode):
+    """Band >= max(m, n) covers the whole matrix: must equal exactly."""
+    rng = np.random.default_rng(101)
+    for pd in (dict(), dict(match=2, mismatch=-3, gap_open=-1,
+                           gap_extend=-2)):  # includes o > e
+        p = AlignParams(**pd)
+        for _ in range(8):
+            q = bytes(rng.choice(ALPHA, int(rng.integers(2, 60))).tolist())
+            t = bytes(rng.choice(ALPHA, int(rng.integers(2, 60))).tolist())
+            band = max(len(q), len(t))
+            score, _ = banded_score(mode, q, t, band, p)
+            want = batch_scores(mode, [(q, t)], p)[0]
+            assert score == want, (mode, pd, q, t)
+
+
+@pytest.mark.parametrize("mode", ["global", "local"])
+def test_similar_pairs_small_band(mode):
+    """Realistic banded use: similar pairs, band 48 — exact, verified by
+    the auto doubling protocol AND against the full engine."""
+    rng = np.random.default_rng(103)
+    p = AlignParams(match=2, mismatch=-2, gap_open=-4, gap_extend=-1)
+    for _ in range(6):
+        q, t = _similar_pair(rng, 300, mutations=12, indels=4)
+        want = batch_scores(mode, [(q, t)], p)[0]
+        score, band = banded_score_auto(mode, q, t, p, band0=48)
+        assert score == want, (mode, len(q), len(t), band)
+
+
+def test_band_too_small_raises():
+    with pytest.raises(ValueError):
+        banded_score("global", b"ACGT", b"A" * 200, 16)
+
+
+def test_banded_batch():
+    from aligntools_tpu.engine.banded import banded_batch_scores
+
+    rng = np.random.default_rng(107)
+    pairs = [_similar_pair(rng, 200, 8, 3) for _ in range(6)]
+    p = AlignParams(match=2, mismatch=-2, gap_open=-4, gap_extend=-1)
+    scores, _ = banded_batch_scores("local", pairs, 64, p)
+    want = batch_scores("local", pairs, p)
+    assert np.array_equal(scores, want)
