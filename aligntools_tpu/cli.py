@@ -195,6 +195,9 @@ def run_batch(args: list[str]) -> int:
                     help="skip traceback (fastest)")
     ap.add_argument("--cigar", action="store_true",
                     help="emit CIGAR strings instead of gapped rows")
+    ap.add_argument("--band", type=int, default=None, metavar="W",
+                    help="banded fill (global/local scores only): O(m*W) "
+                         "work; exact when the optimal path stays in band")
     ap.add_argument("--sharded", action="store_true",
                     help="data-parallel over all devices (scores only)")
     ap.add_argument("--chunk-size", type=int, default=512)
@@ -221,6 +224,7 @@ def run_batch(args: list[str]) -> int:
             scores_only=ns.scores_only, sharded=ns.sharded,
             chunk_size=ns.chunk_size, manifest_path=ns.resume,
             trace_dir=ns.trace, engine=ns.engine, cigar=ns.cigar,
+            band=ns.band,
         )
     except (OSError, ValueError, RuntimeError) as err:
         sys.stderr.write(f"FATAL ERROR: {err}\n")

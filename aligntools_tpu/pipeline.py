@@ -56,6 +56,7 @@ def run_pipeline(
     trace_dir: str | None = None,
     engine: str = "auto",
     cigar: bool = False,
+    band: int | None = None,
 ) -> Counters:
     """Align every pair in ``path``; returns run counters."""
     from aligntools_tpu.batch import align_batch, batch_scores
@@ -66,6 +67,8 @@ def run_pipeline(
         rec_pairs = read_pair_records(path)
     if mode != "fit" and use_sites:
         raise ValueError("junction sites are only meaningful in fit mode")
+    if band is not None and mode not in ("global", "local"):
+        raise ValueError("--band covers global and local modes")
 
     manifest = None
     if manifest_path:
@@ -98,6 +101,14 @@ def run_pipeline(
 
                     vals = batch_scores_sharded(mode, pairs, params)
                     results = list(vals)
+                elif band is not None:
+                    from aligntools_tpu.engine.banded import (
+                        banded_batch_scores,
+                    )
+
+                    results = list(
+                        banded_batch_scores(mode, pairs, band, params)[0]
+                    )
                 elif mode == "edit" or scores_only:
                     results = list(
                         batch_scores(
@@ -113,7 +124,7 @@ def run_pipeline(
                 name2 = b.name.decode("latin-1")
                 if mode == "edit":
                     lines.append(f"{name1}\t{name2}\t{int(r)}")
-                elif scores_only or sharded:
+                elif scores_only or sharded or band is not None:
                     score = r if isinstance(r, float) else float(r)
                     lines.append(f"{name1}\t{name2}\t{score:.6f}")
                 elif cigar:

@@ -179,3 +179,14 @@ def test_serve_loop(tmp_path):
     assert float(tsv[0].split("\t")[2]) == spec.spec_local(*pairs[0], p2).score
     # requests after quit are not processed
     assert len(tsv) == 6  # 3 local scores + 3 edit distances
+
+
+def test_batch_cli_band(tmp_path, capsys):
+    path, pairs, _ = _make_fasta(tmp_path, 4, seed=29)
+    band = max(max(len(q), len(t)) for q, t in pairs)  # full band: exact
+    rc = main(["aligntools", "batch", "local", "--band", str(band), path])
+    out = capsys.readouterr().out.strip().splitlines()
+    assert rc == 0
+    p = AlignParams()
+    for k, ln in enumerate(out):
+        assert float(ln.split("\t")[2]) == spec.spec_local(*pairs[k], p).score
