@@ -22,9 +22,15 @@ boundary — if ``edge_best + (remaining best-case gain)`` cannot reach the
 returned score the band provably did not clip the optimum; the simple
 production protocol is to double W until the score stops changing (tested
 in tests/test_banded.py). Requires |n - m| <= W (the end cell must be in
-band). Score-only; modes global and local.
+band). Score-only; modes global, local, and edit (the classic Ukkonen
+band for edit distance: with unit indels and NONNEGATIVE substitution
+cost, a distance-d path stays within |j - i| <= d, so a converged band
+with distance <= W is provably exact; the reference's default u=-2 quirk
+— substitutions REDUCING distance — voids that bound, so there the
+band-doubling protocol is heuristic like the other modes).
 
-Reference recurrences: src/alignment.h:417-473 (global), 805-847 (local).
+Reference recurrences: src/alignment.h:417-473 (global), 805-847 (local),
+291-315 (edit).
 """
 
 from __future__ import annotations
@@ -54,6 +60,48 @@ def banded_fill(mode, q_arr, t_ext, n, w_pad, params):
 
     # row 0: window covers j = k - W for k in [0, V)
     j_row0 = kidx - w_pad
+    if mode == "edit":
+        # min-plus: out-of-band is +inf; M(0,j) = j
+        POS = jnp.inf
+        m0 = jnp.where(j_row0 >= 0, j_row0.astype(jnp.float32), POS)
+        l0 = u0 = jnp.zeros(V)  # unused carries
+
+        def estep(carry, qc):
+            mp, lp, up, best, edge, i = carry
+            i = i + 1
+            i_f = i.astype(jnp.float32)
+            jcol = i - w_pad + kidx
+            jf = jcol.astype(jnp.float32)
+            in_mat = (jcol >= 1) & (jcol <= n) & (i <= m)
+            tw = jax.lax.dynamic_slice(t_ext, (i - 1,), (V,))
+            sub = jnp.where(tw == qc, 0.0, mis)
+            diag = mp  # same k
+            vert = jnp.concatenate([mp[1:], jnp.full(1, POS)])  # k+1
+            at_j0_diag = jcol == 1
+            diag = jnp.where(at_j0_diag, i_f - 1.0, diag)  # M(i-1,0)=i-1
+            cand2 = jnp.minimum(diag + sub, vert + 1.0)
+            cand2 = jnp.where(in_mat, cand2, POS)
+            # horizontal chain, slope 1: D = row - j; border row(i,0)=i
+            c = jnp.concatenate([jnp.full(1, POS), cand2[:-1] - jf[:-1]])
+            c = jnp.maximum(c, -jnp.inf)
+            c = jnp.where(jcol == 0, i_f, jnp.where(
+                at_j0_diag, jnp.minimum(cand2 - jf, i_f), cand2 - jf
+            ))
+            row = jax.lax.cummin(c) + jf
+            row = jnp.minimum(row, cand2)
+            row = jnp.where(in_mat, row, POS)
+            fin = jnp.min(jnp.where(jcol == n, row, POS))
+            best = jnp.where(i == m, fin, best)
+            edge = jnp.minimum(
+                edge, jnp.minimum(row[0], row[V - 1])
+            )
+            return (row, lp, up, best, edge, i), None
+
+        init = (m0, l0, u0, POS, POS, jnp.int32(0))
+        (_, _, _, best, edge, _), _ = jax.lax.scan(
+            estep, init, q_arr.astype(jnp.float32), unroll=4
+        )
+        return best, edge
     if mode == "global":
         m0 = jnp.where(j_row0 == 0, 0.0, NEG)
         l0 = jnp.where(j_row0 == 0, o, NEG)
@@ -157,10 +205,10 @@ def banded_score(
 ):
     """Banded score for one pair; returns (score, edge_best). Raises if the
     end cell cannot be in band (|n - m| > band)."""
-    if mode not in ("global", "local"):
-        raise ValueError("banded engine covers global and local modes")
+    if mode not in ("global", "local", "edit"):
+        raise ValueError("banded engine covers global, local, and edit")
     m, n = len(q), len(t)
-    if mode == "global" and abs(n - m) > band:
+    if mode in ("global", "edit") and abs(n - m) > band:
         raise ValueError(
             f"band {band} cannot contain the end cell (|n-m|={abs(n - m)})"
         )

@@ -67,8 +67,8 @@ def run_pipeline(
         rec_pairs = read_pair_records(path)
     if mode != "fit" and use_sites:
         raise ValueError("junction sites are only meaningful in fit mode")
-    if band is not None and mode not in ("global", "local"):
-        raise ValueError("--band covers global and local modes")
+    if band is not None and mode not in ("global", "local", "edit"):
+        raise ValueError("--band covers global, local, and edit modes")
 
     manifest = None
     if manifest_path:

@@ -70,3 +70,19 @@ def test_banded_batch():
     scores, _ = banded_batch_scores("local", pairs, 64, p)
     want = batch_scores("local", pairs, p)
     assert np.array_equal(scores, want)
+
+
+def test_banded_edit():
+    """Ukkonen-banded edit distance: full band == spec; small band on
+    similar pairs converges to the exact distance (u=1: provable regime)."""
+    from aligntools_tpu.spec.engine import spec_edit
+
+    rng = np.random.default_rng(109)
+    p = AlignParams(mismatch=1)
+    for _ in range(6):
+        q, t = _similar_pair(rng, 250, mutations=10, indels=5)
+        want = spec_edit(q, t, p)
+        full, _ = banded_score("edit", q, t, max(len(q), len(t)), p)
+        assert int(full) == want
+        score, band = banded_score_auto("edit", q, t, p, band0=32)
+        assert int(score) == want and band < len(q)
