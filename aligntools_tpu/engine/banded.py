@@ -46,8 +46,8 @@ from aligntools_tpu.params import AlignParams
 NEG = -jnp.inf
 
 
-@functools.partial(jax.jit, static_argnums=(0, 4))
-def banded_fill(mode, q_arr, t_ext, n, w_pad, params):
+@functools.partial(jax.jit, static_argnums=(0, 4, 6))
+def banded_fill(mode, q_arr, t_ext, n, w_pad, params, emit_ptrs=False):
     """One pair, banded. q_arr (m_pad,) i32; t_ext (W + n_pad + V,) i32
     (W left-pad columns then the target); n true length; w_pad = W
     (static); params (8,) f32 [match,mis,o,e,_,m,_,_]. Returns
@@ -101,7 +101,9 @@ def banded_fill(mode, q_arr, t_ext, n, w_pad, params):
         (_, _, _, best, edge, _), _ = jax.lax.scan(
             estep, init, q_arr.astype(jnp.float32), unroll=4
         )
-        return best, edge
+        return best, edge, jnp.int32(0), jnp.int32(0), jnp.zeros(
+            (q_arr.shape[0],), jnp.uint8
+        )
     if mode == "global":
         m0 = jnp.where(j_row0 == 0, 0.0, NEG)
         l0 = jnp.where(j_row0 == 0, o, NEG)
@@ -115,7 +117,7 @@ def banded_fill(mode, q_arr, t_ext, n, w_pad, params):
         u0 = jnp.where(valid0, 0.0, NEG)
 
     def step(carry, xs):
-        mp, lp, up, best, edge, i = carry
+        mp, lp, up, best, edge, aux_prev, i = carry
         qc = xs
         i = i + 1
         i_f = i.astype(jnp.float32)
@@ -148,11 +150,27 @@ def banded_fill(mode, q_arr, t_ext, n, w_pad, params):
             diag_u = jnp.where(at_j0_diag, 0.0, diag_u)
             vert_m = jnp.where(at_j0, 0.0, vert_m)
             vert_l = jnp.where(at_j0, 0.0, vert_l)
-        m_row = jnp.maximum(jnp.maximum(diag_l, diag_m), diag_u) + sub
+        # earliest-argument tie-break, reference arg order L, M, U (plus
+        # the 0.0 HOME candidate for local) — same as engine/scan.py
+        cand_l = diag_l + sub
+        cand_m = diag_m + sub
+        cand_u = diag_u + sub
+        best3 = jnp.maximum(jnp.maximum(cand_l, cand_m), cand_u)
+        pm = jnp.where(
+            cand_l >= best3, 0,
+            jnp.where(cand_m >= best3, 1, 2),
+        )
+        m_row = best3
         if mode == "local":
-            m_row = jnp.maximum(m_row, 0.0)
+            # the 0.0 HOME candidate is the LAST max5 argument: it wins
+            # only when strictly greater than the first three
+            pm = jnp.where(best3 >= 0.0, pm, 4)
+            m_row = jnp.maximum(best3, 0.0)
         m_row = jnp.where(in_mat, m_row, NEG)
-        l_row = jnp.maximum(vert_l + e, vert_m + o)
+        pm = jnp.where(m_row > NEG, pm, 7)
+        la_, lb_ = vert_l + e, vert_m + o
+        l_row = jnp.maximum(la_, lb_)
+        pl = jnp.where(la_ >= lb_, 0, 1 << 3)
         l_row = jnp.where(in_mat, l_row, NEG)
         # U scan along the window (horizontal chain): exact within the
         # band because out-of-band predecessors are -inf
@@ -171,29 +189,59 @@ def banded_fill(mode, q_arr, t_ext, n, w_pad, params):
         u_row = jax.lax.cummax(cand)
         u_row = jnp.maximum(u_row, u_seed) + e * jf
         u_row = jnp.where(in_mat, u_row, NEG)
-        # score tracking
+        # pU bit from the direct comparison (M(i,j-1)+o vs U(i,j-1)+e),
+        # honoring the window shift; border values at the j==0 crossing
+        mh = jnp.concatenate([jnp.full(1, NEG), m_row[:-1]])
+        uh = jnp.concatenate([jnp.full(1, NEG), u_row[:-1]])
+        if mode == "local":
+            mh = jnp.where(at_j0_diag, 0.0, mh)
+            uh = jnp.where(at_j0_diag, 0.0, uh)
+        ua_ = mh + o
+        ub_ = uh + e
+        pu = jnp.where(ua_ >= ub_, 0, 1 << 4)
+        packed = (
+            (pm | pl | pu).astype(jnp.uint8)
+            if emit_ptrs else jnp.zeros((), jnp.uint8)
+        )
+        # score and traceback-start tracking
         if mode == "global":
-            fin = jnp.max(
-                jnp.where(
-                    jcol == n,
-                    jnp.maximum(jnp.maximum(l_row, m_row), u_row),
-                    NEG,
-                )
+            at_n = jcol == n
+            ln_ = jnp.max(jnp.where(at_n, l_row, NEG))
+            mn_ = jnp.max(jnp.where(at_n, m_row, NEG))
+            un_ = jnp.max(jnp.where(at_n, u_row, NEG))
+            fin = jnp.maximum(jnp.maximum(ln_, mn_), un_)
+            st = jnp.where(
+                (ln_ >= mn_) & (ln_ >= un_), 0,
+                jnp.where(mn_ >= un_, 1, 2),
+            ).astype(jnp.int32)
+            latch = i == m
+            best = jnp.where(latch, fin, best)
+            aux = (
+                jnp.where(latch, st, aux_prev[0]),
+                aux_prev[1],
             )
-            best = jnp.where(i == m, fin, best)
         else:
-            best = jnp.maximum(best, jnp.max(m_row))
+            rowmax = jnp.max(m_row)
+            hit = (m_row == rowmax) & in_mat
+            jarg = jnp.min(jnp.where(hit, jcol, 1 << 30)).astype(jnp.int32)
+            upd = rowmax > best
+            best = jnp.maximum(best, rowmax)
+            aux = (
+                jnp.where(upd, i, aux_prev[0]),
+                jnp.where(upd, jarg, aux_prev[1]),
+            )
         # band-boundary diagnostic (lanes 0 and V-1)
         edge = jnp.maximum(
             edge, jnp.maximum(m_row[0], m_row[V - 1])
         )
-        return (m_row, l_row, u_row, best, edge, i), None
+        return (m_row, l_row, u_row, best, edge, aux, i), packed
 
-    init = (m0, l0, u0, NEG, NEG, jnp.int32(0))
-    (_, _, _, best, edge, _), _ = jax.lax.scan(
+    aux0 = (jnp.int32(0), jnp.int32(0))
+    init = (m0, l0, u0, NEG, NEG, aux0, jnp.int32(0))
+    (_, _, _, best, edge, aux, _), ptrs = jax.lax.scan(
         step, init, q_arr.astype(jnp.float32), unroll=4
     )
-    return best, edge
+    return best, edge, aux[0], aux[1], ptrs
 
 
 def banded_score(
@@ -222,7 +270,7 @@ def banded_score(
          params.jump, m, 0, 0],
         np.float32,
     )
-    score, edge = banded_fill(
+    score, edge, _, _, _ = banded_fill(
         mode, jnp.asarray(qa), jnp.asarray(t_ext), jnp.int32(n), band,
         jnp.asarray(pv),
     )
@@ -257,8 +305,9 @@ def banded_batch_scores(
     import jax
 
     out = jax.jit(
-        jax.vmap(lambda q, t, n, p: banded_fill(mode, q, t, n, band, p)),
-        static_argnums=(),
+        jax.vmap(
+            lambda q, t, n, p: banded_fill(mode, q, t, n, band, p)[:2]
+        ),
     )(jnp.asarray(qs), jnp.asarray(te), jnp.asarray(ns), jnp.asarray(ps))
     return np.asarray(out[0], np.float64), np.asarray(out[1], np.float64)
 
@@ -285,3 +334,98 @@ def banded_score_auto(
             return score, band  # band covers the whole matrix: exact
         prev = score
         band *= 2
+
+
+# ---------------------------------------------------------------------------
+# Banded traceback (host walk over window-coordinate pointers)
+# ---------------------------------------------------------------------------
+
+_GAP = ord("-")
+
+
+def _walk_banded(q, t, ptrs, band, mode, state, i, j):
+    """Host pointer walk in window coordinates: cell (i, j) lives at
+    ptrs[i-1, j - i + band]. Same packed-byte decode as the full engines
+    (engine/traceback.py); same emission quirks (local HOME emits its
+    diagonal pair then stops; global pads unconsumed prefixes)."""
+    from aligntools_tpu.engine.traceback import _next_state
+
+    r1, r2 = bytearray(), bytearray()
+    while i > 0 and j > 0:
+        k = j - i + band
+        if not (0 <= k < ptrs.shape[1]):
+            raise RuntimeError("banded traceback left the band")
+        byte = int(ptrs[i - 1, k])
+        nxt = _next_state(byte, state)
+        if state == 0:  # LOW
+            i -= 1
+            r1.append(q[i])
+            r2.append(_GAP)
+        elif state == 1:  # MID (HOME cells still emit, then stop)
+            i -= 1
+            j -= 1
+            r1.append(q[i])
+            r2.append(t[j])
+        else:  # UPP
+            j -= 1
+            r1.append(_GAP)
+            r2.append(t[j])
+        state = nxt
+        if nxt == -1:
+            break
+    if mode == "global":
+        while j > 0:
+            j -= 1
+            r1.append(_GAP)
+            r2.append(t[j])
+        while i > 0:
+            i -= 1
+            r1.append(q[i])
+            r2.append(_GAP)
+    return bytes(reversed(r1)), bytes(reversed(r2))
+
+
+def banded_align(
+    mode: str,
+    q: bytes,
+    t: bytes,
+    band: int,
+    params: AlignParams = AlignParams(),
+):
+    """Banded alignment WITH rows; returns (AlignResult, edge_best).
+
+    Rows are an optimal in-band alignment; they are byte-identical to the
+    full engine whenever the band covers the whole matrix, and match it in
+    practice whenever the optimal path is comfortably inside the band (an
+    out-of-band candidate can in principle win a tie the band never sees).
+    """
+    from aligntools_tpu.spec.engine import AlignResult
+
+    if mode not in ("global", "local"):
+        raise ValueError("banded traceback covers global and local modes")
+    m, n = len(q), len(t)
+    if mode == "global" and abs(n - m) > band:
+        raise ValueError("band cannot contain the end cell")
+    V = 2 * band + 1
+    qa = np.frombuffer(q, np.uint8).astype(np.int32)
+    t_ext = np.full(band + n + V + 1, -2, np.int32)
+    t_ext[band : band + n] = np.frombuffer(t, np.uint8)
+    pv = np.array(
+        [params.match, params.mismatch, params.gap_open, params.gap_extend,
+         params.jump, m, 0, 0],
+        np.float32,
+    )
+    score, edge, a, b, ptrs = banded_fill(
+        mode, jnp.asarray(qa), jnp.asarray(t_ext), jnp.int32(n), band,
+        jnp.asarray(pv), True,
+    )
+    ptrs = np.asarray(ptrs)
+    if mode == "global":
+        state, i0, j0 = int(a), m, n
+    else:
+        i0, j0 = int(a), int(b)
+        state = 1  # MID
+        if i0 == 0:
+            return AlignResult(float(score), b"", b""), float(edge)
+    r1, r2 = _walk_banded(q, t, ptrs, band, mode, state, i0, j0)
+    return AlignResult(float(score), r1, r2), float(edge)

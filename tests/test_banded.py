@@ -86,3 +86,44 @@ def test_banded_edit():
         assert int(full) == want
         score, band = banded_score_auto("edit", q, t, p, band0=32)
         assert int(score) == want and band < len(q)
+
+
+@pytest.mark.parametrize("mode", ["global", "local"])
+def test_banded_rows_full_band(mode):
+    """Band covering the whole matrix: rows byte-identical to the spec."""
+    from aligntools_tpu.engine.banded import banded_align
+    from aligntools_tpu.spec import engine as sp
+
+    rng = np.random.default_rng(113)
+    p = AlignParams(match=2, mismatch=-3, gap_open=-4, gap_extend=-1)
+    for _ in range(12):
+        q = bytes(rng.choice(ALPHA, int(rng.integers(2, 50))).tolist())
+        t = bytes(rng.choice(ALPHA, int(rng.integers(2, 50))).tolist())
+        r, _ = banded_align(mode, q, t, max(len(q), len(t)), p)
+        w = getattr(sp, f"spec_{mode}")(q, t, p)
+        assert (r.score, r.row1, r.row2) == (w.score, w.row1, w.row2), (
+            mode, q, t,
+        )
+
+
+@pytest.mark.parametrize("mode", ["global", "local"])
+def test_banded_rows_small_band(mode):
+    """Similar pairs, band 48: score exact vs the full engine and the rows
+    reconstruct the inputs (valid in-band optimal alignment)."""
+    from aligntools_tpu.engine.banded import banded_align
+    from aligntools_tpu.spec import engine as sp
+
+    rng = np.random.default_rng(115)
+    p = AlignParams(match=2, mismatch=-2, gap_open=-4, gap_extend=-1)
+    for _ in range(5):
+        q, t = _similar_pair(rng, 300, 10, 4)
+        r, _ = banded_align(mode, q, t, 48, p)
+        w = getattr(sp, f"spec_{mode}")(q, t, p)
+        assert r.score == w.score
+        u1 = r.row1.replace(b"-", b"")
+        u2 = r.row2.replace(b"-", b"")
+        if mode == "global":
+            assert u1 == q and u2 == t
+        else:
+            assert u1 in q and u2 in t
+        assert len(r.row1) == len(r.row2)
