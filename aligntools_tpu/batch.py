@@ -185,9 +185,17 @@ def _pallas_bucket_full(mode, b, params, use_jump, pairs, results):
     from aligntools_tpu.ops import pallas_ptr as pp
 
     args, B, qs_np, ts_np = _kernel_arrays(b, params)
-    score, a, bb, ptrs = pp.pallas_ptr_fill(
-        mode, use_jump and mode == "fit", b.m_pad, b.n_pad, False, *args
-    )
+    if _select.use_blocked(mode, b.n_pad):
+        from aligntools_tpu.ops.pallas_blocked import blocked_ptr_fill
+
+        score, a, bb, ptrs = blocked_ptr_fill(
+            mode, use_jump and mode == "fit", b.m_pad, b.n_pad,
+            _select.BLOCKED_C_BLK, False, *args
+        )
+    else:
+        score, a, bb, ptrs = pp.pallas_ptr_fill(
+            mode, use_jump and mode == "fit", b.m_pad, b.n_pad, False, *args
+        )
     score = np.asarray(score)[:B]
     a = np.asarray(a)[:B]
     bb = np.asarray(bb)[:B]
@@ -247,7 +255,10 @@ def align_batch(
             and route_pallas
             and mode != "edit"
             and jax.default_backend() == "tpu"
-            and not _select.use_blocked(mode, b.n_pad)
+            and (
+                not _select.use_blocked(mode, b.n_pad)
+                or mode in ("global", "local", "fit")
+            )
         ):
             _pallas_bucket_full(mode, b, params, use_jump, pairs, results)
             continue

@@ -80,7 +80,10 @@ def _row_char(qf, iota_col, idx, n_pad):
     so contract with a one-hot (m_pad, 1) column (a tiny MXU op) and lane-
     broadcast the result. ``iota_col`` is the hoisted (m_pad, 1) iota."""
     onehot = (iota_col == idx).astype(jnp.float32)
-    qc = jnp.dot(qf, onehot, preferred_element_type=jnp.float32)
+    # HIGHEST precision: the default f32 MXU path rounds through bf16
+    # (exact only to 256); byte values are < 256 but don't rely on it
+    qc = jnp.dot(qf, onehot, preferred_element_type=jnp.float32,
+                 precision=jax.lax.Precision.HIGHEST)
     return jnp.broadcast_to(qc, (TILE_B, n_pad))
 
 def _affine_kernel(mode, m_pad, n_pad, q_ref, t_ref, n_ref, m_ref, p_ref,

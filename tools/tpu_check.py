@@ -1,0 +1,141 @@
+"""On-device validation: run the REAL Mosaic kernels on the TPU and compare
+against the spec oracle (the pytest suite forces the CPU backend, so this
+is the hardware half of the story; run after kernel changes).
+
+Covers the numerics trap found in round 1: TPU f32 matmuls decompose to
+bf16 passes at default precision (exact only to |v| <= 256), which
+silently corrupted the blocked kernel's block-edge extraction for DP
+values past 256 — every kernel dot now pins Precision.HIGHEST, and this
+check exercises targets long enough (100k+) that DP values reach -130k.
+
+Usage: /opt/venv/bin/python tools/tpu_check.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+try:
+    import numpy as np
+except ImportError:
+    venv = "/opt/venv/bin/python"
+    if os.path.exists(venv) and not sys.executable.startswith("/opt/venv/"):
+        os.execv(venv, [venv, os.path.abspath(__file__), *sys.argv[1:]])
+    raise
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from aligntools_tpu.batch import align_batch
+    from aligntools_tpu.ops.pallas_blocked import (
+        blocked_ptr_fill,
+        blocked_scores,
+    )
+    from aligntools_tpu.ops.pallas_scan import pallas_scores
+    from aligntools_tpu.engine import device_tb
+    from aligntools_tpu.params import AlignParams
+    from aligntools_tpu.spec import engine as spec
+
+    assert jax.default_backend() == "tpu", (
+        f"tpu_check must run on the TPU backend, got {jax.default_backend()}"
+    )
+    rng = np.random.default_rng(5)
+    alpha = list(b"ACGT")
+    p = AlignParams(match=2, mismatch=-3, gap_open=-4, gap_extend=-1)
+    params = np.zeros((1, 8), np.float32)
+    params[0, :5] = [p.match, p.mismatch, p.gap_open, p.gap_extend, p.jump]
+
+    def bucket(pairs, m_pad, n_pad):
+        B = len(pairs)
+        qs = np.full((B, m_pad), -1, np.int32)
+        ts = np.full((B, n_pad), -2, np.int32)
+        ms = np.ones((B, 1), np.int32)
+        ns = np.ones((B, 1), np.int32)
+        allow = np.ones((B, n_pad), np.float32)
+        for k, (q, t) in enumerate(pairs):
+            qs[k, : len(q)] = np.frombuffer(q, np.uint8)
+            ts[k, : len(t)] = np.frombuffer(t, np.uint8)
+            ms[k, 0], ns[k, 0] = len(q), len(t)
+        return qs, ts, allow, ns, ms
+
+    # 1. flat kernels, DP values to ~2k
+    pairs = [
+        (bytes(rng.choice(alpha, int(rng.integers(100, 512))).tolist()),
+         bytes(rng.choice(alpha, int(rng.integers(100, 1024))).tolist()))
+        for _ in range(8)
+    ]
+    qs, ts, allow, ns, ms = bucket(pairs, 512, 1024)
+    a = tuple(jnp.asarray(x) for x in (qs, ts, ns, ms, params))
+    for mode in ("global", "local", "overlap", "edit"):
+        got = np.asarray(
+            pallas_scores(mode, 512, 1024, False, *a)
+        ).astype(np.float64)
+        want = [
+            getattr(spec, f"spec_{mode}")(q, t, p).score
+            if mode != "edit" else float(spec.spec_edit(q, t, p))
+            for q, t in pairs
+        ]
+        assert np.array_equal(got, want), (mode, got[:4], want[:4])
+        print(f"flat {mode}: OK", flush=True)
+
+    # 2. blocked kernel at 131k columns (DP values to ~-130k)
+    big = [
+        (bytes(rng.choice(alpha, int(rng.integers(30, 64))).tolist()),
+         bytes(rng.choice(alpha, int(rng.integers(100_000, 131_072))).tolist()))
+        for _ in range(8)
+    ]
+    qs, ts, allow, ns, ms = bucket(big, 64, 131072)
+    a = tuple(jnp.asarray(x) for x in (qs, ts, allow, ns, ms, params))
+    for mode in ("global", "local", "fit"):
+        got = np.asarray(
+            blocked_scores(mode, False, 64, 131072, 8192, False, *a)
+        ).astype(np.float64)
+        want = [
+            (spec.spec_fit if mode == "fit"
+             else getattr(spec, f"spec_{mode}"))(q, t, p).score
+            for q, t in big
+        ]
+        assert np.array_equal(got, want), (mode, got[:4], want[:4])
+        print(f"blocked {mode} @131k: OK", flush=True)
+
+    # 3. blocked pointer kernel + device walk, medium-long targets
+    med = [
+        (bytes(rng.choice(alpha, int(rng.integers(50, 256))).tolist()),
+         bytes(rng.choice(alpha, int(rng.integers(4000, 65536))).tolist()))
+        for _ in range(8)
+    ]
+    qs, ts, allow, ns, ms = bucket(med, 256, 65536)
+    a = tuple(jnp.asarray(x) for x in (qs, ts, allow, ns, ms, params))
+    for mode in ("global", "local", "fit"):
+        score, av, bv, ptrs = blocked_ptr_fill(
+            mode, False, 256, 65536, 8192, False, *a
+        )
+        score = np.asarray(score).astype(np.float64)
+        av, bv = np.asarray(av), np.asarray(bv)
+        want = align_batch(mode, med, p, engine="xla")
+        assert np.array_equal(score, [w.score for w in want]), mode
+        if mode == "global":
+            starts = [(int(av[k]), int(ms[k, 0]), int(ns[k, 0]))
+                      for k in range(8)]
+        elif mode == "local":
+            starts = [(1, int(av[k]), int(bv[k])) for k in range(8)]
+        else:
+            starts = [(0 if int(av[k]) else 1, int(ms[k, 0]), int(bv[k]))
+                      for k in range(8)]
+        rows = device_tb.batch_traceback(
+            mode, ptrs, qs, ts, med, starts, col_base=1
+        )
+        for k in range(8):
+            assert rows[k] == (want[k].row1, want[k].row2), (mode, k)
+        print(f"blocked-ptr {mode} @64k rows: OK", flush=True)
+
+    print("TPU CHECK PASSED", flush=True)
+
+
+if __name__ == "__main__":
+    main()
