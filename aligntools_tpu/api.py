@@ -39,6 +39,14 @@ def align_pair(
         raise ValueError(f"unknown mode {mode!r}; expected one of {MODES}")
     if sites is not None and mode != "fit":
         raise ValueError("junction sites are only meaningful in fit mode")
+    if engine == "auto":
+        from aligntools_tpu.engine.scan import f32_exact
+
+        # The device engine is f32; out-of-range (params x length)
+        # combinations would lose integer exactness, so auto routes them
+        # to the double-precision spec oracle (ADVICE r1).
+        if not f32_exact(params, len(seq1), len(seq2), mode):
+            engine = "spec"
     if engine in ("auto", "scan"):
         from aligntools_tpu.engine.scan import scan_align
 

@@ -234,6 +234,9 @@ def align_batch(
         for q, t in pairs:
             if len(q) > len(t):
                 raise ValueError("first sequence must be shorter than the second")
+    if pairs:
+        worst = max(len(q) + len(t) for q, t in pairs)
+        _scan.check_f32_exact(params, worst, 0, mode)
     use_jump = sites_list is not None
     buckets = _bucketize(pairs, sites_list if use_jump else None)
     results: list = [None] * len(pairs)

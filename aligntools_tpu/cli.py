@@ -201,6 +201,9 @@ def run_batch(args: list[str]) -> int:
     ap.add_argument("--sharded", action="store_true",
                     help="data-parallel over all devices (scores only)")
     ap.add_argument("--chunk-size", type=int, default=512)
+    ap.add_argument("--out", metavar="FILE", default=None,
+                    help="output TSV file owned by the pipeline (with "
+                         "--resume: crash-atomic chunk checkpointing)")
     ap.add_argument("--resume", metavar="MANIFEST",
                     help="chunk manifest for checkpoint/resume")
     ap.add_argument("--trace", metavar="DIR",
@@ -218,11 +221,17 @@ def run_batch(args: list[str]) -> int:
 
     p = AlignParams(match=ns.m, mismatch=ns.u, gap_open=ns.o,
                     gap_extend=ns.e, jump=ns.j)
+    if ns.resume and not ns.out:
+        sys.stderr.write(
+            "[batch] note: --resume without --out checkpoints chunk "
+            "completion only; add --out FILE for crash-atomic output\n"
+        )
     try:
         counters = run_pipeline(
             ns.mode, ns.fasta, p, use_sites=ns.s,
             scores_only=ns.scores_only, sharded=ns.sharded,
             chunk_size=ns.chunk_size, manifest_path=ns.resume,
+            out_path=ns.out,
             trace_dir=ns.trace, engine=ns.engine, cigar=ns.cigar,
             band=ns.band,
         )

@@ -296,7 +296,7 @@ def banded_batch_scores(
     ps[:, :4] = [params.match, params.mismatch, params.gap_open,
                  params.gap_extend]
     for k, (q, t) in enumerate(pairs):
-        if mode == "global" and abs(len(t) - len(q)) > band:
+        if mode in ("global", "edit") and abs(len(t) - len(q)) > band:
             raise ValueError("band cannot contain the end cell")
         qs[k, : len(q)] = np.frombuffer(q, np.uint8)
         te[k, band : band + len(t)] = np.frombuffer(t, np.uint8)

@@ -54,6 +54,35 @@ import numpy as np
 
 NEG = -jnp.inf
 
+# f32 holds integers exactly up to 2^24; DP magnitudes are bounded by
+# max|param| * (path length <= m+n+1), so the engine is exact iff that
+# bound stays below the limit (module docstring "Numerics").
+F32_EXACT_LIMIT = 1 << 24
+
+
+def f32_exact(p, m: int, n: int, mode: str = "global") -> bool:
+    """True when every DP value for this (params, lengths) combination is
+    an integer representable exactly in float32."""
+    if mode == "edit":
+        mx = max(1, abs(p.mismatch))
+    else:
+        mx = max(abs(p.match), abs(p.mismatch), abs(p.gap_open),
+                 abs(p.gap_extend), abs(p.jump))
+    return mx * (m + n + 1) < F32_EXACT_LIMIT
+
+
+def check_f32_exact(p, m: int, n: int, mode: str = "global") -> None:
+    """Raise when the f32 engine would lose integer exactness — the
+    reference computes in double (alignment.h:37-48), so silently
+    diverging here is unacceptable; callers route to the spec engine."""
+    if not f32_exact(p, m, n, mode):
+        raise ValueError(
+            f"scoring params x sequence lengths exceed the float32 "
+            f"exact-integer range (max|param| * (m+n+1) >= 2^24 for "
+            f"m={m}, n={n}); use engine='spec' for double-precision "
+            f"reference semantics"
+        )
+
 
 def _unroll() -> int:
     """lax.scan unroll factor: 8 on TPU lifts the fill ~22% (50.7 -> 62
@@ -462,6 +491,7 @@ def scan_align(mode, q: bytes, t: bytes, p, sites=None):
     from aligntools_tpu.spec.engine import AlignResult
 
     m, n = len(q), len(t)
+    check_f32_exact(p, m, n, mode)
     m_pad, n_pad = pad_len(m), pad_len(n)
     qa = _encode(q, m_pad, -1)
     ta = _encode(t, n_pad, -2)

@@ -42,7 +42,10 @@ def get_lib():
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        if not os.path.exists(_LIB_PATH) and not _build():
+        # Always invoke make: its mtime check is a cheap no-op when the
+        # .so is current, and guarantees the loaded library matches the
+        # sources (the .so is a build artifact, never version-controlled).
+        if not _build() and not os.path.exists(_LIB_PATH):
             return None
         lib = ctypes.CDLL(_LIB_PATH)
         lib.at_parse.restype = ctypes.c_void_p

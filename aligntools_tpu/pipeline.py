@@ -53,15 +53,32 @@ def run_pipeline(
     chunk_size: int = 512,
     manifest_path: str | None = None,
     out=None,
+    out_path: str | None = None,
     trace_dir: str | None = None,
     engine: str = "auto",
     cigar: bool = False,
     band: int | None = None,
 ) -> Counters:
-    """Align every pair in ``path``; returns run counters."""
+    """Align every pair in ``path``; returns run counters.
+
+    ``out_path`` makes the pipeline own the output file: with a manifest,
+    each chunk's end byte offset is checkpointed and a resumed run
+    truncates any torn chunk back to the last completed watermark before
+    appending — crash-atomic resume. With a caller-provided ``out`` stream
+    instead, chunk skipping still works but a kill between the chunk write
+    and the manifest update re-emits that chunk.
+    """
     from aligntools_tpu.batch import align_batch, batch_scores
 
-    out = out or sys.stdout
+    if out is not None and out_path is not None:
+        raise ValueError("pass out or out_path, not both")
+    own_out = out_path is not None
+    if own_out:
+        # Binary: tell()/truncate() must be real byte offsets for the
+        # manifest watermark. r+b keeps completed chunks for resume.
+        out = open(out_path, "r+b" if os.path.exists(out_path) else "w+b")
+    else:
+        out = out or sys.stdout
     counters = Counters()
     with stopwatch(counters, "io_seconds"):
         rec_pairs = read_pair_records(path)
@@ -76,6 +93,14 @@ def run_pipeline(
             manifest_path, os.path.abspath(path), mode, chunk_size,
             len(rec_pairs),
         )
+    if own_out:
+        if manifest:
+            wm = manifest.watermark()
+            out.seek(wm)
+            out.truncate(wm)  # drop any torn chunk from a killed run
+        else:
+            out.seek(0)
+            out.truncate(0)
 
     chunks = [
         rec_pairs[i : i + chunk_size]
@@ -142,9 +167,14 @@ def run_pipeline(
                     )
                 counters.pairs += 1
                 counters.cells += len(pairs[k][0]) * len(pairs[k][1])
-            out.write("\n".join(lines) + "\n")
+            text = "\n".join(lines) + "\n"
+            out.write(text.encode("latin-1") if own_out else text)
             if hasattr(out, "flush"):
                 out.flush()
+            if own_out:
+                os.fsync(out.fileno())  # durable before the manifest says done
             if manifest:
-                manifest.mark_done(ci)
+                manifest.mark_done(ci, out.tell() if own_out else None)
+    if own_out:
+        out.close()
     return counters

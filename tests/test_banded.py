@@ -127,3 +127,15 @@ def test_banded_rows_small_band(mode):
         else:
             assert u1 in q and u2 in t
         assert len(r.row1) == len(r.row2)
+
+
+def test_banded_batch_end_cell_check_edit():
+    """ADVICE r1: edit needs the same |n-m| <= band end-cell validation as
+    global (banded_score already raises for both)."""
+    from aligntools_tpu.engine.banded import banded_batch_scores
+
+    pairs = [(b"ACGT", b"ACGTACGTACGTACGTACGTACGTACGTACGT")]
+    with pytest.raises(ValueError):
+        banded_batch_scores("edit", pairs, 4, AlignParams())
+    with pytest.raises(ValueError):
+        banded_batch_scores("global", pairs, 4, AlignParams())

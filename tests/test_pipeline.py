@@ -83,6 +83,52 @@ def test_pipeline_resume(tmp_path):
                      manifest_path=manifest)
 
 
+def test_pipeline_owned_out_atomic_resume(tmp_path):
+    """out_path + manifest is crash-atomic: a run killed mid-chunk (torn
+    bytes past the watermark) or right before mark_done resumes to the
+    exact same output a clean run produces."""
+    import json
+
+    path, pairs, _ = _make_fasta(tmp_path, 8, seed=11)
+    p = AlignParams()
+    clean_out = str(tmp_path / "clean.tsv")
+    run_pipeline("edit", path, p, out_path=clean_out, chunk_size=2)
+    clean = open(clean_out, "rb").read()
+    assert clean.count(b"\n") == 8
+
+    # simulate a run killed after chunk 0 completed and chunk 1 was
+    # half-written (torn) with mark_done never reached
+    manifest = str(tmp_path / "m.json")
+    out = str(tmp_path / "resumed.tsv")
+    run_pipeline("edit", path, p, out_path=out, chunk_size=2,
+                 manifest_path=manifest)
+    mdata = json.load(open(manifest))
+    wm = mdata["chunk_ends"]["0"]
+    mdata["done_chunks"] = [0]
+    mdata["chunk_ends"] = {"0": wm}
+    json.dump(mdata, open(manifest, "w"))
+    with open(out, "r+b") as f:
+        f.truncate(wm)
+        f.seek(wm)
+        f.write(b"torn-half-chunk-without-newline")
+    c = run_pipeline("edit", path, p, out_path=out, chunk_size=2,
+                     manifest_path=manifest)
+    assert open(out, "rb").read() == clean
+    assert c.pairs == 6  # chunk 0 skipped
+
+
+def test_pipeline_out_path_without_manifest_overwrites(tmp_path):
+    path, _, _ = _make_fasta(tmp_path, 4, seed=3)
+    out = str(tmp_path / "o.tsv")
+    open(out, "w").write("stale previous contents\n" * 50)
+    run_pipeline("edit", path, AlignParams(), out_path=out, chunk_size=4)
+    data = open(out).read()
+    assert "stale" not in data and len(data.strip().splitlines()) == 4
+    with pytest.raises(ValueError):
+        run_pipeline("edit", path, AlignParams(), out=io.StringIO(),
+                     out_path=out)
+
+
 def test_pipeline_odd_records(tmp_path):
     path = tmp_path / "odd.fa"
     path.write_text(">a\nACGT\n>b\nGG\n>c\nTT\n")

@@ -115,3 +115,27 @@ def test_golden_fit(fixtures):
     assert (r.row1, r.row2) == (want.row1, want.row2)
     r2 = scan_align("fit", pf.seq1, pf.seq2, AlignParams())
     assert r2.score == -75.0
+
+
+def test_f32_exactness_guard():
+    """ADVICE r1: params x lengths past the f32 exact-integer range must
+    not silently diverge — scan raises, auto routes to the spec oracle."""
+    from aligntools_tpu.api import align_pair
+    from aligntools_tpu.batch import align_batch
+    from aligntools_tpu.engine.scan import check_f32_exact, f32_exact
+
+    big = AlignParams(gap_open=-10_000_000)
+    assert not f32_exact(big, 10, 10)
+    with pytest.raises(ValueError):
+        scan_align("global", b"ACGT", b"ACG", big)
+    with pytest.raises(ValueError):
+        align_batch("global", [(b"ACGT", b"ACG")], big)
+    # auto falls back to the double-precision spec engine
+    r = align_pair("global", b"ACGT", b"ACG", big)
+    want = spec.spec_global(b"ACGT", b"ACG", big)
+    assert r.score == want.score and r.row1 == want.row1
+
+    # in-range params on realistic lengths stay on the device engine
+    check_f32_exact(AlignParams(), 2048, 131072)
+    # edit mode only sees the (hardcoded-1, |u|) costs
+    assert f32_exact(AlignParams(gap_open=-10_000_000), 100, 100, "edit")
