@@ -22,8 +22,14 @@ latency-bound but tiny; the win is that each device's working rows shrink
 by D, so targets far beyond one core's VMEM (or one chip's appetite)
 stream at full vector width.
 
-Score-only (traceback start info is computed, pointer emission for the
-distributed path lands with the DMA pointer kernel). All modes.
+Full alignments (round 2): ``seqpar_align`` runs the same sharded fill
+with per-device packed-pointer slab emission — each device stacks its
+block's pointer rows (the engine/scan.py uint8 byte layout) via the scan's
+ys output, shard_map assembles them into the (m_pad, n_pad) global tensor
+(P(None, 'seq')-sharded, never gathered to the host), start info reduces
+across devices with pmax/pmin respecting the reference's tie-break order,
+and the batched device walk (engine/device_tb.py) emits the rows.
+Score-only remains the cheap path. All modes (edit has no traceback).
 """
 
 from __future__ import annotations
@@ -221,6 +227,295 @@ def _seqpar_local_fn(mode, use_jump, axis):
 
 
     return local_fn
+
+
+def _seqpar_local_ptr_fn(mode, use_jump, axis):
+    """Like _seqpar_local_fn but emits packed pointer rows (the
+    engine/scan.py uint8 layout, columns 1..n_pad) as the scan's ys and
+    tracks full traceback-start info. Returns (score, a, b, ptrs) where
+    ptrs is this device's (m_pad, W) slab and a/b are the per-mode start
+    scalars (global: state; local: i_max/j_max; fit: use_l/j_max;
+    overlap: j_max/-)."""
+    BIGF = jnp.float32(1 << 30)
+
+    def local_fn(q_arr, t_arr, allow, n, params):
+        match, mis = params[0], params[1]
+        o, e, jp = params[2], params[3], params[4]
+        m = params[5].astype(jnp.int32)
+        W = t_arr.shape[0]
+        d = jax.lax.axis_index(axis)
+        jglob = d * W + jnp.arange(1, W + 1, dtype=jnp.int32)
+        jf = jglob.astype(jnp.float32)
+        first = d == 0
+        in_n = jglob <= n
+        eq_n = jglob == n
+        lt_n = jglob <= n - 1
+
+        if mode == "global":
+            m0 = jnp.full(W, NEG)
+            l0 = jnp.full(W, NEG)
+            u0row = o + e * jf
+            u_seed = NEG
+        elif mode == "local":
+            m0 = jnp.zeros(W)
+            l0 = jnp.zeros(W)
+            u0row = jnp.zeros(W)
+            u_seed = 0.0
+        elif mode == "fit":
+            m0 = jnp.zeros(W)
+            l0 = jnp.full(W, NEG)
+            u0row = jnp.zeros(W)
+            u_seed = NEG
+        else:  # overlap
+            m0 = jnp.full(W, NEG)
+            l0 = u0row = jnp.zeros(W)
+            u_seed = NEG
+        j0row = jnp.full(W, NEG)
+
+        def border_cols(i):
+            i_f = i.astype(jnp.float32)
+            if mode == "global":
+                return (
+                    jnp.where(i == 0, 0.0, NEG),
+                    o + e * i_f,
+                    jnp.where(i == 0, o, NEG),
+                    NEG,
+                )
+            if mode == "local":
+                return 0.0, 0.0, 0.0, NEG
+            if mode == "fit":
+                z = jnp.where(i == 0, 0.0, NEG)
+                return z, NEG, z, NEG
+            return 0.0, NEG, NEG, NEG  # overlap: M(i,0)=0
+
+        def pmin(x):
+            return -jax.lax.pmax(-x, axis)
+
+        def first_eq(vec, target, mask):
+            hit = (vec == target) & mask
+            return pmin(jnp.min(jnp.where(hit, jf, BIGF)))
+
+        def step(carry, qc):
+            mp, lp, up, jpr, acc = carry
+            i = acc["i"] + 1
+            sub = jnp.where(t_arr == qc, match, mis)
+            bM, bL, bU, bJ = border_cols(i - 1)
+            mp_s, _ = _shift_from_left(mp, mp[-1], axis)
+            mp_s = mp_s.at[0].set(jnp.where(first, bM, mp_s[0]))
+            bMi, _, _, _ = border_cols(i)
+            if mode == "overlap":
+                # arg order LEFT, DIAG, RIGHT (alignment.h:944); the LEFT
+                # chain is the distributed slope-o scan
+                diag = mp_s + sub
+                right = mp + o
+                dr = jnp.maximum(diag, right)
+                v = _dist_scan_max(dr - o * jf, jnp.float32(0.0), axis)
+                row = v + o * jf
+                row_s, _ = _shift_from_left(row, row[-1], axis)
+                row_s = row_s.at[0].set(jnp.where(first, bMi, row_s[0]))
+                left = row_s + o
+                code = jnp.where(
+                    left >= row, 0, jnp.where(diag >= right, 1, 2)
+                )
+                packed = jnp.where(row > NEG, code, 3).astype(jnp.uint8)
+                rowmax = jax.lax.pmax(
+                    jnp.max(jnp.where(lt_n, row, NEG)), axis
+                )
+                jarg = first_eq(row, rowmax, lt_n)
+                score = jnp.maximum(rowmax, 0.0)
+                jarg = jnp.where(rowmax > 0.0, jarg, 0.0)
+                latch = i == m
+                acc = {
+                    "i": i,
+                    "best": jnp.where(latch, score, acc["best"]),
+                    "a": jnp.where(latch, jarg, acc["a"]),
+                    "b": acc["b"],
+                }
+                return (row, lp, up, jpr, acc), packed
+            lp_s, _ = _shift_from_left(lp, lp[-1], axis)
+            up_s, _ = _shift_from_left(up, up[-1], axis)
+            lp_s = lp_s.at[0].set(jnp.where(first, bL, lp_s[0]))
+            up_s = up_s.at[0].set(jnp.where(first, bU, up_s[0]))
+            # M argmax in reference arg order L, M, U [, J] [, HOME]
+            # (alignment.h:451/825/635): earliest argument wins ties
+            cands = [lp_s + sub, mp_s + sub, up_s + sub]
+            if use_jump:
+                jp_s, _ = _shift_from_left(jpr, jpr[-1], axis)
+                jp_s = jp_s.at[0].set(jnp.where(first, bJ, jp_s[0]))
+                cands.append(jp_s + sub)
+            if mode == "local":
+                cands.append(jnp.zeros(W))  # 0.0 HOME is the LAST arg
+            vals = jnp.stack(cands)
+            m_row = vals.max(axis=0)
+            pm = jnp.argmax(vals, axis=0).astype(jnp.int32)
+            if mode == "local" and not use_jump:
+                pm = jnp.where(pm == 3, 4, pm)  # HOME code is 4, not 3
+            pm = jnp.where(m_row > NEG, pm, 7)
+            la, lb2 = lp + e, mp + o
+            l_row = jnp.maximum(la, lb2)
+            plbit = jnp.where(la >= lb2, 0, 1 << 3)
+            m_cur_s, _ = _shift_from_left(m_row, m_row[-1], axis)
+            m_cur_s = m_cur_s.at[0].set(jnp.where(first, bMi, m_cur_s[0]))
+            cand = m_cur_s + o - e * jf
+            v = _dist_scan_max(cand, jnp.float32(u_seed), axis)
+            u_row = v + e * jf
+            u_s, _ = _shift_from_left(u_row, u_row[-1], axis)
+            u_s = u_s.at[0].set(jnp.where(first, jnp.float32(u_seed), u_s[0]))
+            pubit = jnp.where(m_cur_s + o >= u_s + e, 0, 1 << 4)
+            if use_jump:
+                jc = jnp.where(allow > 0.0, m_cur_s + jp, NEG)
+                j_row = _dist_scan_max(jc, jnp.float32(NEG), axis)
+                j_s, _ = _shift_from_left(j_row, j_row[-1], axis)
+                j_s = j_s.at[0].set(jnp.where(first, NEG, j_s[0]))
+                pjbit = jnp.where((jc > NEG) & (jc >= j_s), 0, 1 << 5)
+            else:
+                j_row = jpr
+                pjbit = 0
+            packed = (pm | plbit | pubit | pjbit).astype(jnp.uint8)
+            # start info
+            if mode == "global":
+                ln = jax.lax.pmax(jnp.max(jnp.where(eq_n, l_row, NEG)), axis)
+                mn = jax.lax.pmax(jnp.max(jnp.where(eq_n, m_row, NEG)), axis)
+                un = jax.lax.pmax(jnp.max(jnp.where(eq_n, u_row, NEG)), axis)
+                fin = jnp.maximum(jnp.maximum(ln, mn), un)
+                st = jnp.where(
+                    (ln >= mn) & (ln >= un), 0.0, jnp.where(mn >= un, 1.0, 2.0)
+                )
+                latch = i == m
+                acc = {
+                    "i": i,
+                    "best": jnp.where(latch, fin, acc["best"]),
+                    "a": jnp.where(latch, st, acc["a"]),
+                    "b": acc["b"],
+                }
+            elif mode == "local":
+                rowmax = jax.lax.pmax(jnp.max(jnp.where(in_n, m_row, NEG)),
+                                      axis)
+                jarg = first_eq(m_row, rowmax, in_n)
+                upd = (rowmax > acc["best"]) & (i <= m)
+                acc = {
+                    "i": i,
+                    "best": jnp.where(upd, rowmax, acc["best"]),
+                    "a": jnp.where(upd, i.astype(jnp.float32), acc["a"]),
+                    "b": jnp.where(upd, jarg, acc["b"]),
+                }
+            else:  # fit: M beats L on ties, smallest j within each
+                mb = jax.lax.pmax(jnp.max(jnp.where(lt_n, m_row, NEG)), axis)
+                lb3 = jax.lax.pmax(jnp.max(jnp.where(lt_n, l_row, NEG)), axis)
+                use_l = lb3 > mb
+                fin = jnp.maximum(mb, lb3)
+                jarg = jnp.where(
+                    use_l,
+                    first_eq(l_row, lb3, lt_n),
+                    first_eq(m_row, mb, lt_n),
+                )
+                latch = i == m
+                acc = {
+                    "i": i,
+                    "best": jnp.where(latch, fin, acc["best"]),
+                    "a": jnp.where(latch, use_l.astype(jnp.float32),
+                                   acc["a"]),
+                    "b": jnp.where(latch, jarg, acc["b"]),
+                }
+            return (m_row, l_row, u_row, j_row, acc), packed
+
+        acc0 = {
+            "i": jnp.int32(0), "best": NEG,
+            "a": jnp.float32(0), "b": jnp.float32(0),
+        }
+        (_, _, _, _, acc), ptrs = jax.lax.scan(
+            step, (m0, l0, u0row, j0row, acc0), q_arr.astype(jnp.float32)
+        )
+        return acc["best"], acc["a"], acc["b"], ptrs
+
+    return local_fn
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
+def _seqpar_fill_ptr(mode, n_pad, use_jump, mesh, q_arr, t_arr, allow, n,
+                     params):
+    """Sharded full fill: (score, a, b) replicated + the (m_pad, n_pad)
+    packed pointer tensor sharded P(None, 'seq') — assembled from the
+    per-device slabs, never leaving the devices."""
+    axis = "seq"
+    local_fn = _seqpar_local_ptr_fn(mode, use_jump, axis)
+    return jax.shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(P(), P(axis), P(axis), P(), P()),
+        out_specs=(P(), P(), P(), P(None, axis)),
+        check_vma=False,
+    )(q_arr, t_arr, allow, n, params)
+
+
+def seqpar_align(
+    mode: str,
+    q: bytes,
+    t: bytes,
+    params: AlignParams = AlignParams(),
+    sites=None,
+    mesh: Mesh | None = None,
+):
+    """Full alignment of one pair with the target sharded across the mesh:
+    sharded fill + pointer-slab emission + batched device walk. Rows are
+    byte-identical to the single-device engines (and the reference binary
+    they are parity-tested against). Returns spec.engine.AlignResult."""
+    from aligntools_tpu.engine import device_tb
+    from aligntools_tpu.spec.engine import AlignResult
+
+    if mode == "edit":
+        raise ValueError("edit mode has no traceback (alignment.h:291-315)")
+    if mode == "fit" and len(q) > len(t):
+        raise ValueError("first sequence must be shorter than the second")
+    if mesh is None:
+        devs = jax.devices()
+        mesh = Mesh(np.asarray(devs), ("seq",))
+    D = mesh.devices.size
+    m, n = len(q), len(t)
+    quantum = 128 * D
+    n_pad = max(quantum, -(-n // quantum) * quantum)
+    m_pad = max(8, m)
+    use_jump = sites is not None and mode == "fit"
+    qa = np.full(m_pad, -1, np.int32)
+    qa[:m] = np.frombuffer(q, np.uint8)
+    ta = np.full(n_pad, -2, np.int32)
+    ta[:n] = np.frombuffer(t, np.uint8)
+    allow = np.ones(n_pad, np.float32)
+    if use_jump:
+        for s in sites:
+            if 0 <= s < n_pad:
+                allow[s] = 0.0
+    pv = np.array(
+        [params.match, params.mismatch, params.gap_open, params.gap_extend,
+         params.jump, m, 0, 0],
+        np.float32,
+    )
+    shard = NamedSharding(mesh, P("seq"))
+    rep = NamedSharding(mesh, P())
+    args = (
+        jax.device_put(jnp.asarray(qa), rep),
+        jax.device_put(jnp.asarray(ta), shard),
+        jax.device_put(jnp.asarray(allow), shard),
+        jax.device_put(jnp.int32(n), rep),
+        jax.device_put(jnp.asarray(pv), rep),
+    )
+    score, a, b, ptrs = _seqpar_fill_ptr(mode, n_pad, use_jump, mesh, *args)
+    score, a, b = float(score), int(a), int(b)
+    if mode == "fit" and not np.isfinite(score):
+        raise RuntimeError("fit: no finite traceback start (reference UB)")
+    if mode == "global":
+        start = (a, m, n)
+    elif mode == "local":
+        start = (1, a, b)
+    elif mode == "fit":
+        # a = use_l (1 when L wins) -> walk states _LOW=0 / _MID=1
+        start = (0 if a else 1, m, b)
+    else:  # overlap
+        start = (0, m, a)
+    rows = device_tb.batch_traceback(
+        mode, ptrs[None], qa[None], ta[None], [(q, t)], [start], col_base=1
+    )
+    return AlignResult(score, *rows[0])
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))

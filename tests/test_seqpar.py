@@ -54,3 +54,48 @@ def test_dp_sp_composition():
         got = seqpar_batch_scores(mode, pairs, p, sites_list=sl, mesh=mesh)
         want = batch_scores(mode, pairs, p, sites_list=sl)
         assert np.array_equal(got, want), mode
+
+
+@pytest.mark.parametrize("mode", ["global", "local", "fit", "overlap"])
+def test_seqpar_full_alignments(mode):
+    """Sequence-parallel FULL alignments: sharded fill + per-device pointer
+    slabs + device walk == the single-device full-alignment path, byte for
+    byte (rows, not just scores) — VERDICT r1 item 2."""
+    from aligntools_tpu.batch import align_batch
+    from aligntools_tpu.parallel.seqpar import seqpar_align
+
+    rng = np.random.default_rng(73)
+    p = AlignParams(match=2, mismatch=-2, gap_open=-4, gap_extend=-1)
+    for i in range(4):
+        m = int(rng.integers(3, 48))
+        n = int(rng.integers(max(m, 400), 1200))  # several 128-col shards
+        q = bytes(rng.choice(ALPHA, m).tolist())
+        t = bytes(rng.choice(ALPHA, n).tolist())
+        sites = None
+        if mode == "fit" and i % 2:
+            sites = sorted(int(x) for x in rng.integers(0, n, 4))
+        got = seqpar_align(mode, q, t, p, sites=sites)
+        want = align_batch(mode, [(q, t)], p,
+                           sites_list=[sites] if sites else None)[0]
+        assert got.score == want.score, (mode, i)
+        assert (got.row1, got.row2) == (want.row1, want.row2), (mode, i)
+
+
+def test_seqpar_full_tie_heavy():
+    """Binary alphabet maximizes DP ties: the distributed argmax/pointer
+    tie-breaks must still match the reference order exactly."""
+    from aligntools_tpu.batch import align_batch
+    from aligntools_tpu.parallel.seqpar import seqpar_align
+
+    rng = np.random.default_rng(74)
+    p = AlignParams()
+    for mode in ("global", "local", "fit", "overlap"):
+        for i in range(3):
+            m = int(rng.integers(3, 24))
+            n = int(rng.integers(max(m, 300), 900))
+            q = bytes(rng.choice([65, 66], m).tolist())
+            t = bytes(rng.choice([65, 66], n).tolist())
+            got = seqpar_align(mode, q, t, p)
+            want = align_batch(mode, [(q, t)], p)[0]
+            assert got.score == want.score, (mode, i)
+            assert (got.row1, got.row2) == (want.row1, want.row2), (mode, i)

@@ -35,3 +35,22 @@ def test_repo_overlap_fixture(capsys):
     assert float(out[0]) > 0  # the synthesized pair genuinely overlaps
     r1, r2 = out[1], out[2]
     assert len(r1) == len(r2) > 30
+
+
+@pytest.mark.skipif(not os.path.exists(TMP_FA), reason="no reference checkout")
+def test_tmp_fa_seqpar_full_rows():
+    """The reference's largest workload (1,327 x 114,491 fit -s) with the
+    TARGET SHARDED over the 8-device mesh: sequence-parallel fill +
+    per-device pointer slabs + device walk must emit byte-identical rows
+    to the single-device engine (VERDICT r1 item 2)."""
+    from aligntools_tpu.api import align_file
+    from aligntools_tpu.io.fasta import read_pair
+    from aligntools_tpu.params import AlignParams
+    from aligntools_tpu.parallel.seqpar import seqpar_align
+
+    p = AlignParams(match=2, mismatch=-2)
+    pair = read_pair(TMP_FA, want_sites=True)
+    got = seqpar_align("fit", pair.seq1, pair.seq2, p, sites=pair.sites)
+    want, _ = align_file("fit", TMP_FA, p, use_sites=True)
+    assert got.score == want.score == 2654.0
+    assert (got.row1, got.row2) == (want.row1, want.row2)
