@@ -386,7 +386,9 @@ def _blocked_ptr_kernel(mode, use_jump, m_pad, c_blk, q_ref, t_ref,
     (strictly-greater values replace; ties keep the earlier block — the
     reference's row-major scan order); fit prefers M over L on score ties
     and the smallest j within each matrix (alignment.h:672-690).
-    Modes: global / local / fit(+jump).
+    Overlap scans the bottom row with the j=0 zero candidate folded into
+    block 0 (alignment.h:950-959). Modes: global / local / fit(+jump) /
+    overlap.
     """
     c = pl.program_id(1)
     b0 = pl.program_id(0) * TILE_B
@@ -428,6 +430,9 @@ def _blocked_ptr_kernel(mode, use_jump, m_pad, c_blk, q_ref, t_ref,
         u_init = zrow + o + e * jcol_f
     elif mode == "local":
         m_init = l_init = u_init = zrow
+    elif mode == "overlap":  # row 0 = -inf for j >= 1 (alignment.h:937)
+        m_init = zrow + NEG
+        l_init = u_init = zrow
     else:
         m_init = zrow
         l_init = zrow + NEG
@@ -509,6 +514,58 @@ def _blocked_ptr_kernel(mode, use_jump, m_pad, c_blk, q_ref, t_ref,
             return r[:, 0:1], r[:, 1:2]
 
         eM_prev, eM_cur = edges(oldM)
+        if mode == "overlap":
+            # single matrix, linear gap o (alignment.h:926-964); argmax
+            # order LEFT, DIAG, RIGHT (:944) — LEFT resolved by the
+            # slope-o scan, pointer codes from direct comparisons like the
+            # flat kernel (pallas_ptr.py), boundary plumbing like the
+            # blocked score kernel: M(i-1, col-edge) diag shift-in, M(i,
+            # col-edge) scan seed, col0 border M(*, 0) = 0 (:937-938).
+            sh_m = jnp.where(
+                first_blk, zcol,
+                jnp.where(idx == 0, zcol + NEG, eM_prev),
+            )
+            sub = jnp.where(t == qc, match, mis)
+            diag = _shift_in(mp, sh_m) + sub
+            right = mp + o
+            dr = jnp.maximum(diag, right)
+            m_edge_cur = jnp.where(first_blk, zcol, eM_cur)  # M(i, col0)
+            seed_w = m_edge_cur - o * gj0
+            w = jnp.maximum(
+                _cummax_lanes(dr - o * jcol_f),
+                jnp.broadcast_to(seed_w, (TILE_B, c_blk)),
+            )
+            m_row = w + o * jcol_f
+            left = _shift_in(m_row, m_edge_cur) + o
+            val = jnp.maximum(left, dr)
+            code = jnp.where(left >= val, 0, jnp.where(diag >= right, 1, 2))
+            packed = jnp.where(val > NEG, code, 3)
+            # bottom-row start scan over j in [0, n-1]; the j=0 zero
+            # candidate exists only in block 0 and wins ties (scan order)
+            sc, ai, bj = acc
+            rowmax = jnp.max(jnp.where(mask_fin, m_row, NEG), axis=1,
+                             keepdims=True)
+            jarg = jnp.min(
+                jnp.where(
+                    (m_row == jnp.broadcast_to(rowmax, m_row.shape))
+                    & mask_fin,
+                    jcol, BIG,
+                ),
+                axis=1, keepdims=True,
+            )
+            score = jnp.where(first_blk, jnp.maximum(rowmax, 0.0), rowmax)
+            jarg = jnp.where(first_blk & (rowmax <= 0.0), zcol_i, jarg)
+            latch = i == m_col
+            acc = (
+                jnp.where(latch, score, sc),
+                jnp.where(latch, jarg, ai),
+                bj,
+            )
+            sel = iota_row == idx
+            nM = jnp.where(
+                sel, jnp.broadcast_to(m_row[:, -1:], (TILE_B, m_pad)), nM
+            )
+            return (m_row, lp, up, jpr, nM, nL, nU, nJ, acc), packed
         eL_prev, _ = edges(oldL)
         eU_prev, eU_cur = edges(oldU)
         eJ_prev, eJ_cur = edges(oldJ)
@@ -658,8 +715,9 @@ def _blocked_ptr_kernel(mode, use_jump, m_pad, c_blk, q_ref, t_ref,
     prev_sc = jnp.where(first_blk, zcol + NEG, score_ref[:, :])
     prev_a = jnp.where(first_blk, zcol_i, a_ref[:, :])
     prev_b = jnp.where(first_blk, zcol_i + BIG, b_ref[:, :])
-    if mode == "global":
-        # exactly one block holds column n
+    if mode in ("global", "overlap"):
+        # global: exactly one block holds column n; overlap: earlier block
+        # = smaller j, which keeps ties (strictly-greater scan, :953)
         take = sc > prev_sc
     elif mode == "local":
         # strictly greater replaces; ties keep the earlier block, which is

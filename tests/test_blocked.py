@@ -65,6 +65,7 @@ def test_blocked_matches_xla(mode, use_jump):
 
 @pytest.mark.parametrize("mode,use_jump", [
     ("global", False), ("local", False), ("fit", True),
+    ("overlap", False),
 ])
 def test_blocked_ptr_rows(mode, use_jump):
     """Blocked pointer kernel + device walk (interpret): rows bit-identical
@@ -111,6 +112,8 @@ def test_blocked_ptr_rows(mode, use_jump):
         starts = [(int(a[k]), int(ms[k, 0]), int(ns[k, 0])) for k in range(B)]
     elif mode == "local":
         starts = [(1, int(a[k]), int(b[k])) for k in range(B)]
+    elif mode == "overlap":
+        starts = [(0, int(ms[k, 0]), int(a[k])) for k in range(B)]
     else:
         starts = [(0 if int(a[k]) else 1, int(ms[k, 0]), int(b[k]))
                   for k in range(B)]
