@@ -123,14 +123,17 @@ def _params_mat(p: AlignParams, ms: np.ndarray) -> jnp.ndarray:
     return jnp.asarray(out)
 
 
-def _kernel_arrays(b, params: AlignParams):
+def _kernel_arrays(b, params: AlignParams, tile_b: int | None = None):
     """Device input arrays for a Pallas kernel bucket, batch padded to a
-    TILE_B multiple: (qs, ts, allow, ns, ms, pmat) as jnp arrays, plus the
-    true batch size B and the host qs/ts (for the device walk)."""
+    ``tile_b`` multiple (default TILE_B): (qs, ts, allow, ns, ms, pmat) as
+    jnp arrays, plus the true batch size B and the host qs/ts (for the
+    device walk)."""
     from aligntools_tpu.ops.pallas_scan import TILE_B
 
+    if tile_b is None:
+        tile_b = TILE_B
     B = len(b.idx)
-    Bp = -(-B // TILE_B) * TILE_B
+    Bp = -(-B // tile_b) * tile_b
     qs = np.full((Bp, b.m_pad), -1, np.int32)
     ts = np.full((Bp, b.n_pad), -2, np.int32)
     qs[:B] = b.q
@@ -158,7 +161,10 @@ def _pallas_bucket_scores(mode, b, params: AlignParams, use_jump: bool):
 
     interpret = jax.default_backend() != "tpu"
     blocked = _select.use_blocked(mode, b.n_pad)
-    (qs, ts, allow, ns, ms, pmat), B, _, _ = _kernel_arrays(b, params)
+    tile_b = None if blocked else _select.flat_tile_b(len(b.idx), b.n_pad)
+    (qs, ts, allow, ns, ms, pmat), B, _, _ = _kernel_arrays(
+        b, params, tile_b
+    )
     if blocked:
         from aligntools_tpu.ops.pallas_blocked import blocked_scores
 
@@ -169,11 +175,12 @@ def _pallas_bucket_scores(mode, b, params: AlignParams, use_jump: bool):
     elif mode == "fit":
         out = pk.pallas_fit_scores(
             use_jump, b.m_pad, b.n_pad, interpret,
-            qs, ts, allow, ns, ms, pmat,
+            qs, ts, allow, ns, ms, pmat, tile_b=tile_b,
         )
     else:
         out = pk.pallas_scores(
-            mode, b.m_pad, b.n_pad, interpret, qs, ts, ns, ms, pmat
+            mode, b.m_pad, b.n_pad, interpret, qs, ts, ns, ms, pmat,
+            tile_b=tile_b,
         )
     return np.asarray(out)[:B]
 
@@ -258,10 +265,6 @@ def align_batch(
             and route_pallas
             and mode != "edit"
             and jax.default_backend() == "tpu"
-            and (
-                not _select.use_blocked(mode, b.n_pad)
-                or mode in ("global", "local", "fit")
-            )
         ):
             _pallas_bucket_full(mode, b, params, use_jump, pairs, results)
             continue

@@ -38,6 +38,23 @@ PALLAS_FLAT_MAX_N_PAD = 32768
 BLOCKED_C_BLK = 8192
 
 
+def flat_tile_b(batch: int, n_pad: int) -> int:
+    """Batch-tile width for the flat score kernels.
+
+    Measured on v5e (tools/vpu_probe.py): the kernel is per-instruction-
+    overhead-bound at narrow tiles — local 256x2048^2 runs 18.5 / 34.6 /
+    47.6 / 49.1 GCUPS at tile_b 8/16/32/64 — so widen until either the
+    VMEM footprint cap (tile_b * n_pad <= 128Ki lanes: 64x2048 and
+    16x8192 compile, 32x8192 does not) or the bucket's batch size stops
+    paying.
+    """
+    cap = max(8, 131072 // max(n_pad, 1))
+    t = 8
+    while t < 64 and t * 2 <= cap and t < batch:
+        t *= 2
+    return t
+
+
 def use_pallas(batch: int, m_pad: int, n_pad: int, mode: str = "local") -> bool:
     """True if a Pallas kernel is the faster engine for this bucket."""
     if jax.default_backend() != "tpu":

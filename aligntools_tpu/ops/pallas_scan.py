@@ -7,12 +7,16 @@ carry rows live in VMEM, so HBM traffic is just the input sequences and
 per-pair scalar results. Score-only (the pointer-emitting path stays on
 the scan engine until the DMA-staged pointer kernel lands).
 
-Layout: each grid program owns TILE_B=8 pairs (the VPU sublane count);
-rows are (8, n_pad) f32 vectors (lanes = target columns 1..n_pad, the
-column-0 border is carried as an (8, 1) scalar column and shifted in).
-The in-row gap recurrences use the same exact max-plus normalization as
-the scan engine (engine/scan.py docstring), with the running max done as
-a Hillis-Steele doubling scan over lanes (log2(n_pad) shift+max steps).
+Layout: each grid program owns ``tile_b`` pairs (8-64 sublanes; routing
+picks the widest tile VMEM allows — engine/select.py flat_tile_b — since
+the kernel is per-instruction-overhead-bound at narrow tiles); rows are
+(tile_b, n_pad) f32 vectors (lanes = target columns 1..n_pad, the
+column-0 border is carried as a (tile_b, 1) scalar column and shifted
+in). The in-row gap recurrences use the same exact max-plus normalization
+as the scan engine (engine/scan.py docstring), with the running max done
+as a Hillis-Steele doubling scan over lanes (log2(n_pad) shift+max
+steps); ROW_UNROLL consecutive rows share one MXU char-extraction dot per
+fori_loop iteration.
 
 Semantics are identical to engine/scan.py (itself parity-tested against
 the reference binary): f32 holds exact integers, -inf borders, and scores
@@ -59,7 +63,7 @@ def _cummin_lanes(v):
     return v
 
 
-def _u_row(m_row, m_border, u0, o, e, jcol):
+def _u_row(m_row, m_border, u0, o, e, jcol, oj=None, ej=None):
     """U[j] = max(M[j-1]+o, U[j-1]+e), U[0] = u0 (a scalar — the border is
     the same for every pair in the tile).
 
@@ -67,15 +71,18 @@ def _u_row(m_row, m_border, u0, o, e, jcol):
     running max of [u0, M[j-1]+o-e*j]; here over lanes j=1..n_pad with the
     column-0 M border shifted in. u0 folds in as a scalar max (Mosaic
     handles scalar broadcasts; (8,1)->(8,n) vector relayouts it does not).
+    ``oj``/``ej`` are the caller-hoisted o-e*j / e*j row constants.
     """
-    cand = _shift_in(m_row, m_border) + o - e * jcol
+    if oj is None:
+        oj, ej = o - e * jcol, e * jcol
+    cand = _shift_in(m_row, m_border) + oj
     v = jnp.maximum(_cummax_lanes(cand), u0)
-    return v + e * jcol
+    return v + ej
 
 
 
 def _row_char(qf, iota_col, idx, n_pad):
-    """Extract column ``idx`` of the (8, m_pad) f32 query tile, replicated
+    """Extract column ``idx`` of the (tb, m_pad) f32 query tile, replicated
     across n_pad lanes. Mosaic cannot dynamically index the lane dimension,
     so contract with a one-hot (m_pad, 1) column (a tiny MXU op) and lane-
     broadcast the result. ``iota_col`` is the hoisted (m_pad, 1) iota."""
@@ -84,25 +91,55 @@ def _row_char(qf, iota_col, idx, n_pad):
     # (exact only to 256); byte values are < 256 but don't rely on it
     qc = jnp.dot(qf, onehot, preferred_element_type=jnp.float32,
                  precision=jax.lax.Precision.HIGHEST)
-    return jnp.broadcast_to(qc, (TILE_B, n_pad))
+    return jnp.broadcast_to(qc, (qf.shape[0], n_pad))
+
+
+def _row_chars(qf, iota_col, blk, R, n_pad):
+    """Columns ``blk*R .. blk*R+R-1`` of the query tile in ONE MXU dot:
+    (tb, m_pad) x (m_pad, R) one-hot -> (tb, R); per-subrow lanes are then
+    static slices (free at trace time). Amortizes the dot + its latency
+    over R DP rows."""
+    rvec = jax.lax.broadcasted_iota(jnp.int32, (1, R), 1)
+    onehot = (iota_col == blk * R + rvec).astype(jnp.float32)
+    qcs = jnp.dot(qf, onehot, preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.HIGHEST)
+    return [
+        jnp.broadcast_to(qcs[:, r : r + 1], (qf.shape[0], n_pad))
+        for r in range(R)
+    ]
+
+
+# rows per fori_loop iteration: amortizes the one-hot MXU dot and the loop
+# bookkeeping; m_pad is always a multiple (buckets are >= 64 and pow2-ish).
+ROW_UNROLL = 4
+
 
 def _affine_kernel(mode, m_pad, n_pad, q_ref, t_ref, n_ref, m_ref, p_ref,
                    out_ref):
-    """global/local score kernel. Shapes: q (8, m_pad) i32, t (8, n_pad) i32,
-    n/m (8, 1) i32, params (1, 8) f32 SMEM, out (8, 1) f32."""
+    """global/local score kernel. Shapes: q (tb, m_pad) i32, t (tb, n_pad)
+    i32, n/m (tb, 1) i32, params (1, 8) f32 SMEM, out (tb, 1) f32.
+
+    Per-row cost trims vs the v1 kernel (measured 11.5 -> see RESULTS.md):
+    one combined-max shift for the diagonal instead of three per-state
+    shifts (score-only: max of shifts == shift of max, borders folded),
+    hoisted o/e*j row constants, a full-row score accumulator so the
+    cross-lane reduction happens once after the loop, and ROW_UNROLL rows
+    per iteration sharing one MXU char-extraction dot."""
     match, mis = p_ref[0, 0], p_ref[0, 1]
     o, e = p_ref[0, 2], p_ref[0, 3]
     t = t_ref[:, :].astype(jnp.float32)
     qf = q_ref[:, :].astype(jnp.float32)
     iota_col = jax.lax.broadcasted_iota(jnp.int32, (m_pad, 1), 0)
-    n_col = n_ref[:, :]  # (8,1) true target lengths
+    n_col = n_ref[:, :]  # (tb,1) true target lengths
     m_col = m_ref[:, :]
     jcol = (
-        jax.lax.broadcasted_iota(jnp.int32, (TILE_B, n_pad), 1) + 1
+        jax.lax.broadcasted_iota(jnp.int32, (q_ref.shape[0], n_pad), 1) + 1
     )
     jcol_f = jcol.astype(jnp.float32)
     mask_le_n = jcol <= n_col
     mask_eq_n = jcol == n_col
+    ej = e * jcol_f            # hoisted row constants
+    oj = o - ej
     # zero templates derived from loaded data: keeps fori_loop carry inits
     # in natural vector layout (splat constants are lane-replicated, which
     # Mosaic cannot unify with the loop body's outputs)
@@ -113,63 +150,61 @@ def _affine_kernel(mode, m_pad, n_pad, q_ref, t_ref, n_ref, m_ref, p_ref,
         # row 0 (cols 1..n): M=L=-inf, U = o + e*j (alignment.h:437-441)
         m_init = zrow + NEG
         l_init = zrow + NEG
-        u_init = zrow + o + e * jcol_f
+        best_init = zrow + o + ej  # max(L,M,U) of row 0 = U row 0
     else:  # local: calloc-zero borders (alignment.h:805-847)
         m_init = zrow
         l_init = zrow
-        u_init = zrow
-    acc0 = zcol + NEG
+        best_init = zrow
+    accrow0 = zrow + NEG
 
-    def row(idx, carry):
-        mp, lp, up, acc = carry
+    def one_row(idx, qc, mp, lp, best, accrow):
         i = idx + 1
-        i_f = jnp.float32(i)
-        qc = _row_char(qf, iota_col, idx, n_pad)
         sub = jnp.where(t == qc, match, mis)
         if mode == "global":
-            # borders at column 0 of the PREVIOUS row i-1 (alignment.h:428-441)
-            mb = zcol + jnp.where(idx == 0, 0.0, NEG)
-            lb = zcol + (o + e * (i_f - 1.0))
-            ub = zcol + jnp.where(idx == 0, o, NEG)
-            diag = jnp.maximum(
-                jnp.maximum(_shift_in(lp, lb), _shift_in(mp, mb)),
-                _shift_in(up, ub),
-            )
-            m_row = diag + sub
+            # borders at col 0 of the PREVIOUS row i-1 (alignment.h:428-441):
+            # M=-inf (0 at i-1==0), L=o+e*(i-1), U=-inf (o at i-1==0);
+            # their max folds to one scalar per row.
+            i_f = jnp.float32(i)
+            bb = zcol + jnp.where(idx == 0, 0.0, o + e * (i_f - 1.0))
+            m_row = _shift_in(best, bb) + sub
             l_row = jnp.maximum(lp + e, mp + o)
-            u_row = _u_row(m_row, zcol + NEG, NEG, o, e, jcol_f)
-            # latch max(L, M, U) at (m, n) when i == m (alignment.h:466-469)
-            fin = jnp.max(
-                jnp.where(
-                    mask_eq_n,
-                    jnp.maximum(jnp.maximum(l_row, m_row), u_row),
-                    NEG,
-                ),
-                axis=1,
-                keepdims=True,
-            )
-            acc = jnp.where(i == m_col, fin, acc)
+            # U seed is -inf (no-op under max): plain scan, no seed fold
+            u_row = _cummax_lanes(_shift_in(m_row, zcol + NEG) + oj) + ej
+            best = jnp.maximum(jnp.maximum(l_row, m_row), u_row)
+            # latch row m's max(L,M,U); the (m,n) lane is picked after the
+            # loop (alignment.h:466-469)
+            accrow = jnp.where(i == m_col, best, accrow)
         else:  # local
-            zero_col = zcol
-            diag = jnp.maximum(
-                jnp.maximum(_shift_in(lp, zero_col), _shift_in(mp, zero_col)),
-                _shift_in(up, zero_col),
-            )
-            m_row = jnp.maximum(diag + sub, 0.0)
+            m_row = jnp.maximum(_shift_in(best, zcol) + sub, 0.0)
             l_row = jnp.maximum(lp + e, mp + o)
-            u_row = _u_row(m_row, zero_col, 0.0, o, e, jcol_f)
-            # running max of M over true cells (i <= m, j <= n)
-            rowmax = jnp.max(
-                jnp.where(mask_le_n, m_row, NEG), axis=1, keepdims=True
+            u_row = _u_row(m_row, zcol, 0.0, o, e, jcol_f, oj, ej)
+            best = jnp.maximum(jnp.maximum(l_row, m_row), u_row)
+            # running max of M over true rows (i <= m); j-mask after loop
+            accrow = jnp.maximum(
+                accrow, jnp.where(i <= m_col, m_row, NEG)
             )
-            rowmax = jnp.where(i <= m_col, rowmax, NEG)
-            acc = jnp.maximum(acc, rowmax)
-        return m_row, l_row, u_row, acc
+        return m_row, l_row, best, accrow
 
-    _, _, _, acc = jax.lax.fori_loop(
-        0, m_pad, row, (m_init, l_init, u_init, acc0)
+    R = ROW_UNROLL if m_pad % ROW_UNROLL == 0 else 1
+
+    def block(blk, carry):
+        mp, lp, best, accrow = carry
+        qcs = _row_chars(qf, iota_col, blk, R, n_pad)
+        for r in range(R):
+            mp, lp, best, accrow = one_row(
+                blk * R + r, qcs[r], mp, lp, best, accrow
+            )
+        return mp, lp, best, accrow
+
+    _, _, _, accrow = jax.lax.fori_loop(
+        0, m_pad // R, block,
+        (m_init, l_init, best_init, accrow0),
     )
-    out_ref[:, :] = acc
+    if mode == "global":
+        fin = jnp.where(mask_eq_n, accrow, NEG)
+    else:
+        fin = jnp.where(mask_le_n, accrow, NEG)
+    out_ref[:, :] = jnp.max(fin, axis=1, keepdims=True)
 
 
 def _overlap_kernel(m_pad, n_pad, q_ref, t_ref, n_ref, m_ref, p_ref, out_ref):
@@ -182,36 +217,42 @@ def _overlap_kernel(m_pad, n_pad, q_ref, t_ref, n_ref, m_ref, p_ref, out_ref):
     iota_col = jax.lax.broadcasted_iota(jnp.int32, (m_pad, 1), 0)
     n_col = n_ref[:, :]
     m_col = m_ref[:, :]
-    jcol = jax.lax.broadcasted_iota(jnp.int32, (TILE_B, n_pad), 1) + 1
+    jcol = jax.lax.broadcasted_iota(jnp.int32, (q_ref.shape[0], n_pad), 1) + 1
     jcol_f = jcol.astype(jnp.float32)
     mask_lt_n = jcol <= n_col - 1
     zrow = t * 0.0
     zcol = jnp.max(zrow, axis=1, keepdims=True)
     m_init = zrow + NEG
-    acc0 = zcol + NEG
+    accrow0 = zrow + NEG
     zero_col = zcol
+    ojc = o * jcol_f  # hoisted slope constant
 
-    def row(idx, carry):
-        mp, acc = carry
+    def one_row(idx, qc, mp, accrow):
         i = idx + 1
-        qc = _row_char(qf, iota_col, idx, n_pad)
         sub = jnp.where(t == qc, match, mis)
         # diag pred at col0 of prev row: M(i-1,0)=0 (col0 border)
         dr = jnp.maximum(_shift_in(mp, zero_col) + sub, mp + o)
         # M[i,0]=0; M[i,j]=max(M[i,j-1]+o, dr[j]) -> slope-o scan, seed 0
-        cand = dr - o * jcol_f
+        cand = dr - ojc
         v = jnp.maximum(_cummax_lanes(cand), 0.0)  # seed = M[i,0]-o*0 = 0
-        m_row = v + o * jcol_f
-        # latch row m: score = max(0, max over j in [1, n-1])
-        rowmax = jnp.max(
-            jnp.where(mask_lt_n, m_row, NEG), axis=1, keepdims=True
-        )
-        rowmax = jnp.maximum(rowmax, 0.0)  # j=0 border candidate (value 0)
-        acc = jnp.where(i == m_col, rowmax, acc)
-        return m_row, acc
+        m_row = v + ojc
+        # latch row m; masked lane-reduce happens once after the loop
+        accrow = jnp.where(i == m_col, m_row, accrow)
+        return m_row, accrow
 
-    _, acc = jax.lax.fori_loop(0, m_pad, row, (m_init, acc0))
-    out_ref[:, :] = acc
+    R = ROW_UNROLL if m_pad % ROW_UNROLL == 0 else 1
+
+    def block(blk, carry):
+        mp, accrow = carry
+        qcs = _row_chars(qf, iota_col, blk, R, n_pad)
+        for r in range(R):
+            mp, accrow = one_row(blk * R + r, qcs[r], mp, accrow)
+        return mp, accrow
+
+    _, accrow = jax.lax.fori_loop(0, m_pad // R, block, (m_init, accrow0))
+    # score = max(0, max over j in [1, n-1]); the 0 is the j=0 border
+    fin = jnp.max(jnp.where(mask_lt_n, accrow, NEG), axis=1, keepdims=True)
+    out_ref[:, :] = jnp.maximum(fin, 0.0)
 
 
 def _edit_kernel(m_pad, n_pad, q_ref, t_ref, n_ref, m_ref, p_ref, out_ref):
@@ -222,35 +263,40 @@ def _edit_kernel(m_pad, n_pad, q_ref, t_ref, n_ref, m_ref, p_ref, out_ref):
     iota_col = jax.lax.broadcasted_iota(jnp.int32, (m_pad, 1), 0)
     n_col = n_ref[:, :]
     m_col = m_ref[:, :]
-    jcol = jax.lax.broadcasted_iota(jnp.int32, (TILE_B, n_pad), 1) + 1
+    jcol = jax.lax.broadcasted_iota(jnp.int32, (q_ref.shape[0], n_pad), 1) + 1
     jcol_f = jcol.astype(jnp.float32)
     mask_eq_n = jcol == n_col
     zrow = t * 0.0
     zcol = jnp.max(zrow, axis=1, keepdims=True)
     row0 = zrow + jcol_f  # M(0,j) = j
-    acc0 = zcol
+    accrow0 = zrow
 
-    def row(idx, carry):
-        prev, acc = carry
+    def one_row(idx, qc, prev, accrow):
         i = idx + 1
         i_f = jnp.float32(idx) + 1.0
-        qc = _row_char(qf, iota_col, idx, n_pad)
         sub = jnp.where(t == qc, 0.0, u)
         pb = zcol + (i_f - 1.0)  # M(i-1, 0) = i-1
         cand = jnp.minimum(_shift_in(prev, pb) + sub, prev + 1.0)
         # row[0]=i; row[j]=min(cand[j], row[j-1]+1) -> slope-1 min scan
         v = jnp.minimum(_cummin_lanes(cand - jcol_f), i_f)
         row_v = v + jcol_f
-        fin = jnp.min(
-            jnp.where(mask_eq_n, row_v, float("inf")),
-            axis=1,
-            keepdims=True,
-        )
-        acc = jnp.where(i == m_col, fin, acc)
-        return row_v, acc
+        accrow = jnp.where(i == m_col, row_v, accrow)
+        return row_v, accrow
 
-    _, acc = jax.lax.fori_loop(0, m_pad, row, (row0, acc0))
-    out_ref[:, :] = acc
+    R = ROW_UNROLL if m_pad % ROW_UNROLL == 0 else 1
+
+    def block(blk, carry):
+        prev, accrow = carry
+        qcs = _row_chars(qf, iota_col, blk, R, n_pad)
+        for r in range(R):
+            prev, accrow = one_row(blk * R + r, qcs[r], prev, accrow)
+        return prev, accrow
+
+    _, accrow = jax.lax.fori_loop(0, m_pad // R, block, (row0, accrow0))
+    fin = jnp.min(
+        jnp.where(mask_eq_n, accrow, float("inf")), axis=1, keepdims=True
+    )
+    out_ref[:, :] = fin
 
 
 def _fit_kernel(use_jump, m_pad, n_pad, q_ref, t_ref, allow_ref, n_ref,
@@ -266,94 +312,97 @@ def _fit_kernel(use_jump, m_pad, n_pad, q_ref, t_ref, allow_ref, n_ref,
     iota_col = jax.lax.broadcasted_iota(jnp.int32, (m_pad, 1), 0)
     n_col = n_ref[:, :]
     m_col = m_ref[:, :]
-    jcol = jax.lax.broadcasted_iota(jnp.int32, (TILE_B, n_pad), 1) + 1
+    jcol = jax.lax.broadcasted_iota(jnp.int32, (q_ref.shape[0], n_pad), 1) + 1
     jcol_f = jcol.astype(jnp.float32)
     mask_lt_n = jcol <= n_col - 1
     zrow = t * 0.0
     zcol = jnp.max(zrow, axis=1, keepdims=True)
     neg_col = zcol + NEG
-    # row 0: M=U=0, L=J=-inf (alignment.h:619-624)
+    ej = e * jcol_f            # hoisted row constants
+    oj = o - ej
+    # row 0: M=U=0, L=J=-inf (alignment.h:619-624) -> combined max = 0
     m_init = zrow
-    u_init = zrow
     l_init = zrow + NEG
-    j_init = zrow + NEG
-    acc0 = zcol + NEG
+    best_init = zrow
+    accrow0 = zrow + NEG
     if use_jump:
         allow = allow_ref[:, :]
 
-    def row(idx, carry):
-        mp, lp, up, jpr, acc = carry
+    def one_row(idx, qc, mp, lp, best, accrow):
         i = idx + 1
-        qc = _row_char(qf, iota_col, idx, n_pad)
         sub = jnp.where(t == qc, match, mis)
         # col0 borders all -inf for i >= 1 (alignment.h:612-617); row0 col0
         # is ALSO overwritten to M(0,0)=U(0,0)=0 by the row0 loop (619-624,
-        # j starts at 0), so the diag shift-in at i=1 is 0 for M and U.
-        mb = zcol + jnp.where(idx == 0, 0.0, NEG)
-        ub = zcol + jnp.where(idx == 0, 0.0, NEG)
-        diag = jnp.maximum(
-            jnp.maximum(_shift_in(lp, neg_col), _shift_in(mp, mb)),
-            _shift_in(up, ub),
-        )
-        if use_jump:
-            diag = jnp.maximum(diag, _shift_in(jpr, neg_col))
-        m_row = diag + sub
+        # j starts at 0), so the combined diag border at i=1 is 0.
+        bb = zcol + jnp.where(idx == 0, 0.0, NEG)
+        m_row = _shift_in(best, bb) + sub
         l_row = jnp.maximum(lp + e, mp + o)
-        u_row = _u_row(m_row, neg_col, NEG, o, e, jcol_f)
-        if use_jump:
-            cand = jnp.where(
-                allow > 0.0, _shift_in(m_row, neg_col) + jp, NEG
-            )
-            j_row = _cummax_lanes(cand)
-        else:
-            j_row = jpr
+        # one shifted m_row feeds both the U scan and the J scan; the
+        # U(i,0) = -inf seed is a no-op under max, so no seed fold needed
+        sm = _shift_in(m_row, neg_col)
+        u_row = _cummax_lanes(sm + oj) + ej
         best_ml = jnp.maximum(m_row, l_row)
-        rowmax = jnp.max(
-            jnp.where(mask_lt_n, best_ml, NEG), axis=1, keepdims=True
-        )
-        acc = jnp.where(i == m_col, rowmax, acc)
-        return m_row, l_row, u_row, j_row, acc
+        best = jnp.maximum(best_ml, u_row)
+        if use_jump:
+            j_row = _cummax_lanes(jnp.where(allow > 0.0, sm + jp, NEG))
+            best = jnp.maximum(best, j_row)
+        accrow = jnp.where(i == m_col, best_ml, accrow)
+        return m_row, l_row, best, accrow
 
-    _, _, _, _, acc = jax.lax.fori_loop(
-        0, m_pad, row, (m_init, l_init, u_init, j_init, acc0)
+    R = ROW_UNROLL if m_pad % ROW_UNROLL == 0 else 1
+
+    def block(blk, carry):
+        mp, lp, best, accrow = carry
+        qcs = _row_chars(qf, iota_col, blk, R, n_pad)
+        for r in range(R):
+            mp, lp, best, accrow = one_row(
+                blk * R + r, qcs[r], mp, lp, best, accrow
+            )
+        return mp, lp, best, accrow
+
+    _, _, _, accrow = jax.lax.fori_loop(
+        0, m_pad // R, block, (m_init, l_init, best_init, accrow0)
     )
-    out_ref[:, :] = acc
+    fin = jnp.max(jnp.where(mask_lt_n, accrow, NEG), axis=1, keepdims=True)
+    out_ref[:, :] = fin
 
 
-def _grid_call(kernel, nin, m_pad, n_pad, B, interpret):
-    grid = (B // TILE_B,)
+def _grid_call(kernel, nin, m_pad, n_pad, B, interpret, tile_b=TILE_B):
+    grid = (B // tile_b,)
     seq_spec = [
-        pl.BlockSpec((TILE_B, m_pad), lambda b: (b, 0),
+        pl.BlockSpec((tile_b, m_pad), lambda b: (b, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((TILE_B, n_pad), lambda b: (b, 0),
+        pl.BlockSpec((tile_b, n_pad), lambda b: (b, 0),
                      memory_space=pltpu.VMEM),
     ]
     if nin == 6:  # fit: + allow mask
         seq_spec.append(
-            pl.BlockSpec((TILE_B, n_pad), lambda b: (b, 0),
+            pl.BlockSpec((tile_b, n_pad), lambda b: (b, 0),
                          memory_space=pltpu.VMEM)
         )
     seq_spec += [
-        pl.BlockSpec((TILE_B, 1), lambda b: (b, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((TILE_B, 1), lambda b: (b, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile_b, 1), lambda b: (b, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile_b, 1), lambda b: (b, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 8), lambda b: (0, 0), memory_space=pltpu.SMEM),
     ]
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=seq_spec,
-        out_specs=pl.BlockSpec((TILE_B, 1), lambda b: (b, 0),
+        out_specs=pl.BlockSpec((tile_b, 1), lambda b: (b, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, 1), jnp.float32),
         interpret=interpret,
     )
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
-def pallas_scores(mode, m_pad, n_pad, interpret, qs, ts, ns, ms, params):
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3),
+                   static_argnames=("tile_b",))
+def pallas_scores(mode, m_pad, n_pad, interpret, qs, ts, ns, ms, params,
+                  tile_b=TILE_B):
     """Score-only batch fill. qs (B, m_pad) i32, ts (B, n_pad) i32,
     ns/ms (B, 1) i32, params (1, 8) f32 [match, mis, o, e, jump, 0, 0, 0].
-    B must be a multiple of TILE_B. Returns (B,) f32 scores."""
+    B must be a multiple of ``tile_b``. Returns (B,) f32 scores."""
     B = qs.shape[0]
     if mode in ("global", "local"):
         kern = functools.partial(_affine_kernel, mode, m_pad, n_pad)
@@ -363,18 +412,19 @@ def pallas_scores(mode, m_pad, n_pad, interpret, qs, ts, ns, ms, params):
         kern = functools.partial(_edit_kernel, m_pad, n_pad)
     else:
         raise ValueError(mode)
-    out = _grid_call(kern, 5, m_pad, n_pad, B, interpret)(
+    out = _grid_call(kern, 5, m_pad, n_pad, B, interpret, tile_b)(
         qs, ts, ns, ms, params
     )
     return out[:, 0]
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3),
+                   static_argnames=("tile_b",))
 def pallas_fit_scores(use_jump, m_pad, n_pad, interpret, qs, ts, allow, ns,
-                      ms, params):
+                      ms, params, tile_b=TILE_B):
     B = qs.shape[0]
     kern = functools.partial(_fit_kernel, use_jump, m_pad, n_pad)
-    out = _grid_call(kern, 6, m_pad, n_pad, B, interpret)(
+    out = _grid_call(kern, 6, m_pad, n_pad, B, interpret, tile_b)(
         qs, ts, allow, ns, ms, params
     )
     return out[:, 0]
