@@ -88,7 +88,10 @@ def _walk_affine(stop_at_j0, n_steps, col_base, ptrs, qs, ts, state0, i0, j0):
         c1 = jnp.where(active, jnp.where(takes_q, qc, _GAP), jnp.uint8(0))
         c2 = jnp.where(active, jnp.where(takes_t, tc, _GAP), jnp.uint8(0))
         err = err | (active & (nxt == _ERR))
-        state = jnp.where(active, nxt, jnp.where(state < _DONE, _DONE, state))
+        # inactive steps preserve state: a pause (i or j hit the block/walk
+        # boundary) must stay distinguishable from a genuine HOME/_DONE
+        # stop so the rescan engine can resume across row blocks
+        state = jnp.where(active, nxt, state)
         count = count + active.astype(jnp.int32)
         return (ni, nj, state, count, err), (c1, c2)
 
@@ -99,21 +102,27 @@ def _walk_affine(stop_at_j0, n_steps, col_base, ptrs, qs, ts, state0, i0, j0):
         jnp.zeros(B, jnp.int32),
         jnp.zeros(B, bool),
     )
-    (fi, fj, _, count, err), (cols1, cols2) = jax.lax.scan(
+    (fi, fj, fstate, count, err), (cols1, cols2) = jax.lax.scan(
         step, init, None, length=n_steps
     )
-    return cols1, cols2, count, fi, fj, err
+    return cols1, cols2, count, fi, fj, fstate, err
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1))
-def _walk_overlap(n_steps, col_base, ptrs, qs, ts, i0, j0):
-    """Batched overlap walk (while j>0; 2-bit codes move directly)."""
+@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+def _walk_overlap(n_steps, col_base, pause_at_i0, ptrs, qs, ts, i0, j0):
+    """Batched overlap walk (while j>0; 2-bit codes move directly).
+
+    ``pause_at_i0``: True for the block-resumable rescan walk — at i == 0
+    the walk simply stops emitting (the caller resumes in the row block
+    above) instead of flagging the reference's i<=0 UB as an error."""
     B = ptrs.shape[0]
     bidx = jnp.arange(B)
 
     def step(carry, _):
         i, j, done, count, err = carry
         active = (~done) & (j > 0)
+        if pause_at_i0:
+            active = active & (i > 0)
         byte = ptrs[bidx, jnp.maximum(i - 1, 0), jnp.maximum(j - col_base, 0)]
         code = (byte & 0x3).astype(jnp.int32)
         bad = active & ((code == 3) | (i <= 0))
@@ -134,10 +143,10 @@ def _walk_overlap(n_steps, col_base, ptrs, qs, ts, i0, j0):
         i0, j0, jnp.zeros(B, bool), jnp.zeros(B, jnp.int32),
         jnp.zeros(B, bool),
     )
-    (_, _, _, count, err), (cols1, cols2) = jax.lax.scan(
+    (fi, fj, done, count, err), (cols1, cols2) = jax.lax.scan(
         step, init, None, length=n_steps
     )
-    return cols1, cols2, count, err
+    return cols1, cols2, count, fi, fj, done, err
 
 
 def batch_traceback(mode, ptrs_dev, qs_np, ts_np, pairs, starts,
@@ -159,15 +168,15 @@ def batch_traceback(mode, ptrs_dev, qs_np, ts_np, pairs, starts,
     if mode == "overlap":
         i0 = jnp.asarray([s[1] for s in starts], jnp.int32)
         j0 = jnp.asarray([s[2] for s in starts], jnp.int32)
-        cols1, cols2, count, err = _walk_overlap(
-            n_steps, col_base, ptrs_dev, qs_d, ts_d, i0, j0
+        cols1, cols2, count, _, _, _, err = _walk_overlap(
+            n_steps, col_base, False, ptrs_dev, qs_d, ts_d, i0, j0
         )
         fi = fj = None
     else:
         state0 = jnp.asarray([s[0] for s in starts], jnp.int32)
         i0 = jnp.asarray([s[1] for s in starts], jnp.int32)
         j0 = jnp.asarray([s[2] for s in starts], jnp.int32)
-        cols1, cols2, count, fi, fj, err = _walk_affine(
+        cols1, cols2, count, fi, fj, _, err = _walk_affine(
             mode != "fit", n_steps, col_base, ptrs_dev, qs_d, ts_d, state0,
             i0, j0,
         )

@@ -166,20 +166,19 @@ def _sub_row(qc, t_arr, match, mismatch):
 
 
 # ---------------------------------------------------------------------------
-# global (Needleman-Wunsch affine) — align_gla, alignment.h:417-473
+# Mode machines: (init carry, row step, finish) triples.
+#
+# Each mode's DP is packaged as a "machine" so that every consumer — the
+# whole-matrix fills below, and the checkpoint-rescan engine
+# (engine/rescan.py) that re-runs row blocks from saved carries — shares
+# ONE implementation of the recurrences and tie-breaks. The carry layout
+# places the resumable state rows FIRST (M, L, U[, J] — what rescan
+# checkpoints), followed by mode-specific latches and the row counter i.
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnums=(4, 5))
-def global_fill(q_arr, t_arr, n, params, n_pad, emit_ptrs=True):
-    """Fill the global-mode DP; returns (score, start_state 0/1/2=L/M/U,
-    packed pointers [m_pad, n_pad+1]).
-
-    ``q_arr``: int32 [m_pad] query bytes (pad value < 0);
-    ``t_arr``: int32 [n_pad] target bytes; ``n``: true target length. The
-    true query length m enters via where the caller reads the latched
-    finals — here latched at scan step i == m via ``m`` in params[5].
-    """
+def global_machine(t_arr, n, params, n_pad, emit_ptrs):
+    """align_gla (alignment.h:417-473). Carry: (M, L, U, fin(3,), i)."""
     match, mismatch, o, e = params[0], params[1], params[2], params[3]
     m = params[5].astype(jnp.int32)
     jidx = jnp.arange(n_pad + 1, dtype=jnp.float32)
@@ -220,13 +219,31 @@ def global_fill(q_arr, t_arr, n, params, n_pad, emit_ptrs=True):
 
     fin0 = jnp.stack([l0[n], m0[n], u0[n]])  # m == 0 degenerate
     init = (m0, l0, u0, fin0, jnp.int32(0))
-    (_, _, _, fin, _), ptrs = jax.lax.scan(
+
+    def finish(carry):
+        # Final tie order L, M, U (alignment.h:466-469).
+        fin = carry[3]
+        return fin.max(), jnp.argmax(fin).astype(jnp.int32)
+
+    return init, step, finish
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5))
+def global_fill(q_arr, t_arr, n, params, n_pad, emit_ptrs=True):
+    """Fill the global-mode DP; returns (score, start_state 0/1/2=L/M/U,
+    packed pointers [m_pad, n_pad+1]).
+
+    ``q_arr``: int32 [m_pad] query bytes (pad value < 0);
+    ``t_arr``: int32 [n_pad] target bytes; ``n``: true target length. The
+    true query length m enters via where the caller reads the latched
+    finals — here latched at scan step i == m via ``m`` in params[5].
+    """
+    init, step, finish = global_machine(t_arr, n, params, n_pad, emit_ptrs)
+    carry, ptrs = jax.lax.scan(
         step, init, (q_arr.astype(jnp.float32), jnp.zeros(q_arr.shape[0])),
         unroll=_unroll(),
     )
-    # Final tie order L, M, U (alignment.h:466-469).
-    score = fin.max()
-    state = jnp.argmax(fin).astype(jnp.int32)
+    score, state = finish(carry)
     return score, state, ptrs
 
 
@@ -235,12 +252,9 @@ def global_fill(q_arr, t_arr, n, params, n_pad, emit_ptrs=True):
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnums=(4, 5))
-def local_fill(q_arr, t_arr, n, params, n_pad, emit_ptrs=True):
-    """Local mode: calloc-zero borders (NOT -inf; alignment.h:805-847), M
-    floored by a 0.0 HOME candidate (arg order L,M,U,0 at :825), running
-    strictly-greater argmax of M in row-major fill order (:830-833).
-    Returns (score, i_max, j_max, packed pointers)."""
+def local_machine(t_arr, n, params, n_pad, emit_ptrs):
+    """align_local_affine (alignment.h:805-847).
+    Carry: (M, L, U, best, imax, jmax, i)."""
     match, mismatch, o, e = params[0], params[1], params[2], params[3]
     m = params[5].astype(jnp.int32)
     jidx = jnp.arange(n_pad + 1, dtype=jnp.float32)
@@ -282,10 +296,25 @@ def local_fill(q_arr, t_arr, n, params, n_pad, emit_ptrs=True):
         return (m_row, l_row, u_row, best, imax, jmax, i), packed
 
     init = (zero, zero, zero, NEG, jnp.int32(0), jnp.int32(0), jnp.int32(0))
-    (_, _, _, best, imax, jmax, _), ptrs = jax.lax.scan(
+
+    def finish(carry):
+        return carry[3], carry[4], carry[5]
+
+    return init, step, finish
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5))
+def local_fill(q_arr, t_arr, n, params, n_pad, emit_ptrs=True):
+    """Local mode: calloc-zero borders (NOT -inf; alignment.h:805-847), M
+    floored by a 0.0 HOME candidate (arg order L,M,U,0 at :825), running
+    strictly-greater argmax of M in row-major fill order (:830-833).
+    Returns (score, i_max, j_max, packed pointers)."""
+    init, step, finish = local_machine(t_arr, n, params, n_pad, emit_ptrs)
+    carry, ptrs = jax.lax.scan(
         step, init, (q_arr.astype(jnp.float32), jnp.zeros(q_arr.shape[0])),
         unroll=_unroll(),
     )
+    best, imax, jmax = finish(carry)
     return best, imax, jmax, ptrs
 
 
@@ -294,13 +323,10 @@ def local_fill(q_arr, t_arr, n, params, n_pad, emit_ptrs=True):
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnums=(5, 6, 7))
-def fit_fill(q_arr, t_arr, n, params, entry_allowed, n_pad, use_jump, emit_ptrs=True):
-    """Fit mode. Borders (alignment.h:612-624): col0 all -inf; row0 M=U=0,
-    L=J=-inf (free target prefix). Traceback start (:672-690): scan row m
-    over columns j in [0, n-1] (LAST COLUMN EXCLUDED), M first then L with
-    strict >, so M beats L on ties and the smallest j wins within each.
-    Returns (score, start_state 0=MID/1=LOW, j_max, packed pointers)."""
+def fit_machine(t_arr, n, params, entry_allowed, n_pad, use_jump,
+                emit_ptrs):
+    """align_fit_affine_jump (alignment.h:596-694).
+    Carry: (M, L, U, J, latchM, latchL, i)."""
     match, mismatch, o, e, jp = (
         params[0], params[1], params[2], params[3], params[4],
     )
@@ -344,21 +370,40 @@ def fit_fill(q_arr, t_arr, n, params, entry_allowed, n_pad, use_jump, emit_ptrs=
         return (m_row, l_row, u_row, j_row, latchM, latchL, i), packed
 
     init = (m0, l0, u0, j0, m0, l0, jnp.int32(0))
-    (_, _, _, _, lastM, lastL, _), ptrs = jax.lax.scan(
+
+    def finish(carry):
+        lastM, lastL = carry[4], carry[5]
+        # Bottom-row scan over j in [0, n-1]; M beats L on ties (strict >).
+        scan_mask = jnp.arange(n_pad + 1) < n
+        mrow = jnp.where(scan_mask, lastM, NEG)
+        lrow = jnp.where(scan_mask, lastL, NEG)
+        mb, lb = mrow.max(), lrow.max()
+        use_l = lb > mb
+        score = jnp.where(use_l, lb, mb)
+        state = jnp.where(use_l, jnp.int32(1), jnp.int32(0))
+        j_max = jnp.where(
+            use_l, jnp.argmax(lrow), jnp.argmax(mrow)
+        ).astype(jnp.int32)
+        return score, state, j_max
+
+    return init, step, finish
+
+
+@functools.partial(jax.jit, static_argnums=(5, 6, 7))
+def fit_fill(q_arr, t_arr, n, params, entry_allowed, n_pad, use_jump, emit_ptrs=True):
+    """Fit mode. Borders (alignment.h:612-624): col0 all -inf; row0 M=U=0,
+    L=J=-inf (free target prefix). Traceback start (:672-690): scan row m
+    over columns j in [0, n-1] (LAST COLUMN EXCLUDED), M first then L with
+    strict >, so M beats L on ties and the smallest j wins within each.
+    Returns (score, start_state 0=MID/1=LOW, j_max, packed pointers)."""
+    init, step, finish = fit_machine(
+        t_arr, n, params, entry_allowed, n_pad, use_jump, emit_ptrs
+    )
+    carry, ptrs = jax.lax.scan(
         step, init, (q_arr.astype(jnp.float32), jnp.zeros(q_arr.shape[0])),
         unroll=_unroll(),
     )
-    # Bottom-row scan over j in [0, n-1]; M beats L on ties (strict >).
-    scan_mask = jnp.arange(n_pad + 1) < n
-    mrow = jnp.where(scan_mask, lastM, NEG)
-    lrow = jnp.where(scan_mask, lastL, NEG)
-    mb, lb = mrow.max(), lrow.max()
-    use_l = lb > mb
-    score = jnp.where(use_l, lb, mb)
-    state = jnp.where(use_l, jnp.int32(1), jnp.int32(0))
-    j_max = jnp.where(
-        use_l, jnp.argmax(lrow), jnp.argmax(mrow)
-    ).astype(jnp.int32)
+    score, state, j_max = finish(carry)
     return score, state, j_max, ptrs
 
 
@@ -367,13 +412,8 @@ def fit_fill(q_arr, t_arr, n, params, entry_allowed, n_pad, use_jump, emit_ptrs=
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnums=(4, 5))
-def overlap_fill(q_arr, t_arr, n, params, n_pad, emit_ptrs=True):
-    """Overlap mode: one matrix, LINEAR gap (``-e`` dead: alignment.h:944),
-    init row0=-inf THEN col0=0 so M(0,0)=0 (:937-938). In-row LEFT chain
-    resolved by a max-plus scan with slope o. Start scan: row m over
-    j in [0, n-1] (j=0 included -> possibly empty alignment; last column
-    excluded) (:950-959). Returns (score, j_max, packed 2-bit pointers)."""
+def overlap_machine(t_arr, n, params, n_pad, emit_ptrs):
+    """align_overlap (alignment.h:926-964). Carry: (M, latch, i)."""
     match, mismatch, o = params[0], params[1], params[2]
     m = params[5].astype(jnp.int32)
     jidx = jnp.arange(n_pad + 1, dtype=jnp.float32)
@@ -407,14 +447,30 @@ def overlap_fill(q_arr, t_arr, n, params, n_pad, emit_ptrs=True):
         return (m_row, latch, i), packed
 
     init = (m0, m0, jnp.int32(0))
-    (_, last, _), ptrs = jax.lax.scan(
+
+    def finish(carry):
+        scan_mask = jnp.arange(n_pad + 1) < n
+        row = jnp.where(scan_mask, carry[1], NEG)
+        j_max = jnp.argmax(row).astype(jnp.int32)
+        return row[j_max], j_max
+
+    return init, step, finish
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5))
+def overlap_fill(q_arr, t_arr, n, params, n_pad, emit_ptrs=True):
+    """Overlap mode: one matrix, LINEAR gap (``-e`` dead: alignment.h:944),
+    init row0=-inf THEN col0=0 so M(0,0)=0 (:937-938). In-row LEFT chain
+    resolved by a max-plus scan with slope o. Start scan: row m over
+    j in [0, n-1] (j=0 included -> possibly empty alignment; last column
+    excluded) (:950-959). Returns (score, j_max, packed 2-bit pointers)."""
+    init, step, finish = overlap_machine(t_arr, n, params, n_pad, emit_ptrs)
+    carry, ptrs = jax.lax.scan(
         step, init, (q_arr.astype(jnp.float32), jnp.zeros(q_arr.shape[0])),
         unroll=_unroll(),
     )
-    scan_mask = jnp.arange(n_pad + 1) < n
-    row = jnp.where(scan_mask, last, NEG)
-    j_max = jnp.argmax(row).astype(jnp.int32)
-    return row[j_max], j_max, ptrs
+    score, j_max = finish(carry)
+    return score, j_max, ptrs
 
 
 # ---------------------------------------------------------------------------
