@@ -91,13 +91,14 @@ def main():
     ]
     qs, ts, allow, ns, ms = bucket(big, 64, 131072)
     a = tuple(jnp.asarray(x) for x in (qs, ts, allow, ns, ms, params))
-    for mode in ("global", "local", "fit"):
+    for mode in ("global", "local", "fit", "overlap", "edit"):
         got = np.asarray(
             blocked_scores(mode, False, 64, 131072, 8192, False, *a)
         ).astype(np.float64)
         want = [
-            (spec.spec_fit if mode == "fit"
-             else getattr(spec, f"spec_{mode}"))(q, t, p).score
+            float(spec.spec_edit(q, t, p)) if mode == "edit"
+            else (spec.spec_fit if mode == "fit"
+                  else getattr(spec, f"spec_{mode}"))(q, t, p).score
             for q, t in big
         ]
         assert np.array_equal(got, want), (mode, got[:4], want[:4])
@@ -111,7 +112,7 @@ def main():
     ]
     qs, ts, allow, ns, ms = bucket(med, 256, 65536)
     a = tuple(jnp.asarray(x) for x in (qs, ts, allow, ns, ms, params))
-    for mode in ("global", "local", "fit"):
+    for mode in ("global", "local", "fit", "overlap"):
         score, av, bv, ptrs = blocked_ptr_fill(
             mode, False, 256, 65536, 8192, False, *a
         )
@@ -124,15 +125,41 @@ def main():
                       for k in range(8)]
         elif mode == "local":
             starts = [(1, int(av[k]), int(bv[k])) for k in range(8)]
-        else:
+        elif mode == "fit":
             starts = [(0 if int(av[k]) else 1, int(ms[k, 0]), int(bv[k]))
                       for k in range(8)]
+        else:  # overlap: bottom-row start at latched column a
+            starts = [(0, int(ms[k, 0]), int(av[k])) for k in range(8)]
         rows = device_tb.batch_traceback(
             mode, ptrs, qs, ts, med, starts, col_base=1
         )
         for k in range(8):
             assert rows[k] == (want[k].row1, want[k].row2), (mode, k)
         print(f"blocked-ptr {mode} @64k rows: OK", flush=True)
+
+    # 4. blocked pointer kernel for OVERLAP at 131k columns + device walk
+    # (trace_back_overlap, alignment.h:896-922; long-target full rows)
+    ov = [
+        (bytes(rng.choice(alpha, int(rng.integers(30, 64))).tolist()),
+         bytes(rng.choice(alpha, int(rng.integers(100_000, 131_072))).tolist()))
+        for _ in range(8)
+    ]
+    qs, ts, allow, ns, ms = bucket(ov, 64, 131072)
+    a = tuple(jnp.asarray(x) for x in (qs, ts, allow, ns, ms, params))
+    score, av, bv, ptrs = blocked_ptr_fill(
+        "overlap", False, 64, 131072, 8192, False, *a
+    )
+    score = np.asarray(score).astype(np.float64)
+    av = np.asarray(av)
+    want = align_batch("overlap", ov, p, engine="xla")
+    assert np.array_equal(score, [w.score for w in want]), "overlap@131k"
+    starts = [(0, int(ms[k, 0]), int(av[k])) for k in range(8)]
+    rows = device_tb.batch_traceback(
+        "overlap", ptrs, qs, ts, ov, starts, col_base=1
+    )
+    for k in range(8):
+        assert rows[k] == (want[k].row1, want[k].row2), ("overlap@131k", k)
+    print("blocked-ptr overlap @131k rows: OK", flush=True)
 
     print("TPU CHECK PASSED", flush=True)
 
