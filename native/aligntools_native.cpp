@@ -279,6 +279,7 @@ int64_t at_traceback_affine(const uint8_t* ptrs, int64_t row_stride,
         out2[len] = '-';
         break;
       case ST_MID:
+        if (j <= 0) return -1;  // corrupt matrix: would read t[-1]
         --i;
         --j;
         out1[len] = q[i];
@@ -286,6 +287,7 @@ int64_t at_traceback_affine(const uint8_t* ptrs, int64_t row_stride,
         break;
       case ST_UPP:
       case ST_JUMP:
+        if (j <= 0) return -1;  // corrupt matrix: would read t[-1]
         --j;
         out1[len] = '-';
         out2[len] = t[j];
