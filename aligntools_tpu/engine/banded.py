@@ -16,21 +16,27 @@ The target slice for row i is ``t_ext[i-1 : i-1+V]`` where t_ext carries
 W pad columns on the left, so no per-row index arithmetic survives.
 
 Semantics: identical to the full engines whenever the optimal path stays
-strictly inside the band; out-of-band cells are -inf. Exactness is
-verifiable cheaply: ``edge_best`` returns the best M value ON the band
-boundary — if ``edge_best + (remaining best-case gain)`` cannot reach the
-returned score the band provably did not clip the optimum; the simple
-production protocol is to double W until the score stops changing (tested
-in tests/test_banded.py). Requires |n - m| <= W (the end cell must be in
-band). Score-only; modes global, local, and edit (the classic Ukkonen
-band for edit distance: with unit indels and NONNEGATIVE substitution
-cost, a distance-d path stays within |j - i| <= d, so a converged band
-with distance <= W is provably exact; the reference's default u=-2 quirk
-— substitutions REDUCING distance — voids that bound, so there the
-band-doubling protocol is heuristic like the other modes).
+strictly inside the band; out-of-band cells are -inf.
+
+Exactness: score-plateau band doubling (double W until the score stops
+changing) is a HEURISTIC — tests/test_banded.py constructs adversarial
+pairs where two consecutive bands agree on a wrong score. The sound tool
+is ``band_certificate``: a parameter-arithmetic bound on every path that
+uses any out-of-band cell (crossing |j - i| = W+1 costs >= W+1 gap
+steps for the corner-to-corner modes global/edit; for the free-start
+modes local/fit/overlap no crossing is forced, so the bound degrades to
+the perfect-score ceiling). ``banded_score_auto`` doubles the band until
+the certificate proves exactness (``certified=True``) or the band covers
+the whole matrix. ``edge_best`` (the best value ON the band boundary)
+remains available as a cheap diagnostic.
+
+Modes: global, local, edit, fit (WITHOUT the jump state — a junction
+jump teleports across diagonals, which no band can contain), overlap.
+fit/overlap are score-only like edit; global/local also emit pointers.
+Requires |n - m| <= W for global/edit (the end cell must be in band).
 
 Reference recurrences: src/alignment.h:417-473 (global), 805-847 (local),
-291-315 (edit).
+291-315 (edit), 596-694 (fit, sans jump), 926-964 (overlap).
 """
 
 from __future__ import annotations
@@ -104,12 +110,60 @@ def banded_fill(mode, q_arr, t_ext, n, w_pad, params, emit_ptrs=False):
         return best, edge, jnp.int32(0), jnp.int32(0), jnp.zeros(
             (q_arr.shape[0],), jnp.uint8
         )
+    if mode == "overlap":
+        # single matrix, linear gap o (alignment.h:926-964): row0 = -inf
+        # for j >= 1, col0 = 0 for all i; score = max(0, row m over
+        # j in [1, n-1]) — the j=0 zero border is an unconditional start
+        match, mis, o = params[0], params[1], params[2]
+        m0 = jnp.where(j_row0 == 0, 0.0, NEG)
+
+        def ostep(carry, qc):
+            mp, best, edge, i = carry
+            i = i + 1
+            jcol = i - w_pad + kidx
+            jf = jcol.astype(jnp.float32)
+            in_mat = (jcol >= 1) & (jcol <= n) & (i <= m)
+            tw = jax.lax.dynamic_slice(t_ext, (i - 1,), (V,))
+            sub = jnp.where(tw == qc, match, mis)
+            diag = mp  # same k
+            vert = jnp.concatenate([mp[1:], jnp.full(1, NEG)])  # k+1
+            at_j0 = jcol == 0
+            at_j0_diag = jcol == 1
+            diag = jnp.where(at_j0_diag, 0.0, diag)  # M(i-1, 0) = 0
+            vert = jnp.where(at_j0, 0.0, vert)       # M(i-1, 0) = 0
+            cand = jnp.maximum(diag + sub, vert + o)
+            cand = jnp.where(in_mat, cand, NEG)
+            # LEFT chain M(i,j) = max(cand, M(i,j-1)+o): slope-o scan,
+            # normalized D = M - o*j with the col0 seed D = 0 at jcol==0
+            c = jnp.where(at_j0, 0.0, cand - o * jf)
+            row = jax.lax.cummax(c) + o * jf
+            row = jnp.where(in_mat, row, NEG)
+            fin = jnp.maximum(
+                jnp.max(jnp.where(jcol <= n - 1, row, NEG)), 0.0
+            )
+            best = jnp.where(i == m, fin, best)
+            edge = jnp.maximum(edge, jnp.maximum(row[0], row[V - 1]))
+            return (row, best, edge, i), None
+
+        init = (m0, NEG, NEG, jnp.int32(0))
+        (_, best, edge, _), _ = jax.lax.scan(
+            ostep, init, q_arr.astype(jnp.float32), unroll=4
+        )
+        return best, edge, jnp.int32(0), jnp.int32(0), jnp.zeros(
+            (q_arr.shape[0],), jnp.uint8
+        )
     if mode == "global":
         m0 = jnp.where(j_row0 == 0, 0.0, NEG)
         l0 = jnp.where(j_row0 == 0, o, NEG)
         u0 = jnp.where(
             j_row0 >= 0, o + e * j_row0.astype(jnp.float32), NEG
         )
+    elif mode == "fit":
+        # row 0: M = U = 0 for all j >= 0, L = -inf (alignment.h:619-624)
+        valid0 = j_row0 >= 0
+        m0 = jnp.where(valid0, 0.0, NEG)
+        l0 = jnp.full(V, NEG)
+        u0 = jnp.where(valid0, 0.0, NEG)
     else:  # local: zero borders; out-of-range still -inf (outside matrix)
         valid0 = j_row0 >= 0
         m0 = jnp.where(valid0, 0.0, NEG)
@@ -144,6 +198,15 @@ def banded_fill(mode, q_arr, t_ext, n, w_pad, params, emit_ptrs=False):
             diag_u = jnp.where(at_j0_diag, bU_d, diag_u)
             vert_m = jnp.where(at_j0, NEG, vert_m)  # M(i,0) unused; vert is
             vert_l = jnp.where(at_j0, bL_d, vert_l)  # L(i-1,0)=o+e(i-1)
+        elif mode == "fit":
+            # col0 all -inf for i >= 1; (0,0) has M = U = 0 (the row-0
+            # loop overwrites col0 — alignment.h:612-624)
+            bMU_d = jnp.where(i - 1 == 0, 0.0, NEG)
+            diag_m = jnp.where(at_j0_diag, bMU_d, diag_m)
+            diag_l = jnp.where(at_j0_diag, NEG, diag_l)
+            diag_u = jnp.where(at_j0_diag, bMU_d, diag_u)
+            vert_m = jnp.where(at_j0, bMU_d, vert_m)
+            vert_l = jnp.where(at_j0, NEG, vert_l)
         else:
             diag_m = jnp.where(at_j0_diag, 0.0, diag_m)
             diag_l = jnp.where(at_j0_diag, 0.0, diag_l)
@@ -204,7 +267,15 @@ def banded_fill(mode, q_arr, t_ext, n, w_pad, params, emit_ptrs=False):
             if emit_ptrs else jnp.zeros((), jnp.uint8)
         )
         # score and traceback-start tracking
-        if mode == "global":
+        if mode == "fit":
+            # bottom-row start scan over j in [0, n-1] (last column
+            # excluded); col0 is -inf so only j >= 1 lanes contribute
+            # (alignment.h:672-690). Score-only: no start state tracked.
+            vals = jnp.maximum(m_row, l_row)
+            fin = jnp.max(jnp.where(jcol <= n - 1, vals, NEG))
+            best = jnp.where(i == m, fin, best)
+            aux = aux_prev
+        elif mode == "global":
             at_n = jcol == n
             ln_ = jnp.max(jnp.where(at_n, l_row, NEG))
             mn_ = jnp.max(jnp.where(at_n, m_row, NEG))
@@ -244,6 +315,64 @@ def banded_fill(mode, q_arr, t_ext, n, w_pad, params, emit_ptrs=False):
     return best, edge, aux[0], aux[1], ptrs
 
 
+BANDED_MODES = ("global", "local", "edit", "fit", "overlap")
+
+
+def band_certificate(
+    mode: str, m: int, n: int, band: int, params: AlignParams = AlignParams()
+) -> float:
+    """Bound on every alignment path that uses ANY cell outside the band.
+
+    Max-plus modes return an UPPER bound: if the banded score >= this
+    value, no out-of-band path can strictly beat it, so the banded score
+    is provably the exact unbanded score. Edit (min-plus) returns a LOWER
+    bound on out-of-band cost: banded distance <= bound certifies.
+
+    Math: a path that touches diagonal offset |j - i| = band+1 must
+    contain >= band+1 gap steps (each step changes the offset by at most
+    one), and its match/mismatch columns P satisfy P <= min(m, n-band-1)
+    (right crossing) / min(n, m-band-1) (left). For the corner-to-corner
+    modes (global, edit) EVERY out-of-band path must cross, so the bound
+    bites; the free-start modes (local, fit, overlap) admit paths that
+    live entirely beyond the band with zero gaps, so the bound degrades
+    to the perfect-score ceiling (certifies only a perfect in-band hit).
+    Gap params must be non-positive for the max-plus bound (else +inf =
+    never certified).
+    """
+    c = max(params.match, params.mismatch)  # best per aligned column
+    cpos = max(c, 0.0)
+    if mode == "edit":
+        # cost >= I + D + u*P with indel 1, u = params.mismatch quirk
+        u_neg = min(params.mismatch, 0.0)
+        w1 = band + 1
+        sides = []
+        if n >= w1:  # right: I >= W+1, D >= I - (n-m), P <= min(m, n-W-1)
+            sides.append(
+                w1 + max(0.0, w1 - (n - m)) + u_neg * max(min(m, n - w1), 0)
+            )
+        if m >= w1:  # left: D >= W+1, I = D + (n-m)
+            sides.append(
+                w1 + max(0.0, w1 + (n - m)) + u_neg * max(min(n, m - w1), 0)
+            )
+        return min(sides) if sides else float("inf")
+    o, e = float(params.gap_open), float(params.gap_extend)
+    if mode == "overlap":
+        e = 0.0  # linear gap o; -e is dead (alignment.h:944)
+    if o > 0 or e > 0:
+        return float("inf")
+    if mode == "global":
+        w1 = band + 1
+        sides = []
+        if n >= w1:
+            sides.append(cpos * max(min(m, n - w1), 0) + o + e * w1)
+        if m >= w1:
+            sides.append(cpos * max(min(n, m - w1), 0) + o + e * w1)
+        return max(sides) if sides else float("-inf")
+    if mode == "fit":  # all of q consumed: P <= m, gaps <= 0
+        return cpos * m
+    return cpos * min(m, n)  # local / overlap
+
+
 def banded_score(
     mode: str,
     q: bytes,
@@ -253,13 +382,15 @@ def banded_score(
 ):
     """Banded score for one pair; returns (score, edge_best). Raises if the
     end cell cannot be in band (|n - m| > band)."""
-    if mode not in ("global", "local", "edit"):
-        raise ValueError("banded engine covers global, local, and edit")
+    if mode not in BANDED_MODES:
+        raise ValueError(f"banded engine covers {BANDED_MODES}")
     m, n = len(q), len(t)
     if mode in ("global", "edit") and abs(n - m) > band:
         raise ValueError(
             f"band {band} cannot contain the end cell (|n-m|={abs(n - m)})"
         )
+    if mode == "fit" and m > n:
+        raise ValueError("first sequence must be shorter than the second")
     V = 2 * band + 1
     qa = np.full(m, -1, np.int32)
     qa[:] = np.frombuffer(q, np.uint8)
@@ -295,9 +426,13 @@ def banded_batch_scores(
     ps = np.zeros((B, 8), np.float32)
     ps[:, :4] = [params.match, params.mismatch, params.gap_open,
                  params.gap_extend]
+    if mode not in BANDED_MODES:
+        raise ValueError(f"banded engine covers {BANDED_MODES}")
     for k, (q, t) in enumerate(pairs):
         if mode in ("global", "edit") and abs(len(t) - len(q)) > band:
             raise ValueError("band cannot contain the end cell")
+        if mode == "fit" and len(q) > len(t):
+            raise ValueError("first sequence must be shorter than the second")
         qs[k, : len(q)] = np.frombuffer(q, np.uint8)
         te[k, band : band + len(t)] = np.frombuffer(t, np.uint8)
         ns[k] = len(t)
@@ -319,20 +454,28 @@ def banded_score_auto(
     params: AlignParams = AlignParams(),
     band0: int | None = None,
 ):
-    """Score with band doubling until convergence — returns the exact
-    unbanded score with banded cost when the optimal path is central
-    (verified against the full engine in tests)."""
+    """Score with band doubling — returns ``(score, band, certified)``.
+
+    ``certified=True`` means the score is PROVABLY the exact unbanded
+    score: either ``band_certificate`` discharged it (no out-of-band
+    path can beat the banded optimum) or the band covered the whole
+    matrix. While uncertified, the band keeps doubling even when the
+    score plateaus — a plateau alone can be wrong (see the adversarial
+    pairs in tests/test_banded.py), so it is reported, not trusted.
+    """
     m, n = len(q), len(t)
     band = band0 if band0 is not None else max(32, abs(n - m) + 16)
-    prev = None
     while True:
         band = min(band, max(m, n))
         score, _ = banded_score(mode, q, t, band, params)
-        if prev is not None and score == prev:
-            return score, band
+        cert = band_certificate(mode, m, n, band, params)
+        if mode == "edit":
+            if score <= cert:
+                return score, band, True
+        elif score >= cert:
+            return score, band, True
         if band >= max(m, n):
-            return score, band  # band covers the whole matrix: exact
-        prev = score
+            return score, band, True  # band covers the whole matrix
         band *= 2
 
 

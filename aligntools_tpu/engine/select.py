@@ -44,13 +44,15 @@ def flat_tile_b(batch: int, n_pad: int) -> int:
     Measured on v5e (tools/vpu_probe.py): the kernel is per-instruction-
     overhead-bound at narrow tiles — local 256x2048^2 runs 18.5 / 34.6 /
     47.6 / 49.1 GCUPS at tile_b 8/16/32/64 — so widen until either the
-    VMEM footprint cap (tile_b * n_pad <= 128Ki lanes: 64x2048 and
-    16x8192 compile, 32x8192 does not) or the bucket's batch size stops
-    paying.
+    VMEM footprint cap or the bucket's batch size stops paying. The cap
+    is tile_b * n_pad <= 512Ki lanes: the kernels size their own Mosaic
+    vmem_limit_bytes to the footprint (ops/pallas_scan._grid_call), and
+    ~24 live (tile_b, n_pad) f32 rows at 512Ki lanes sit under the 100
+    MiB ceiling (32x8192 measured 46.5 GCUPS, 16x32768 fit 28.1).
     """
-    cap = max(8, 131072 // max(n_pad, 1))
+    cap = max(8, 524288 // max(n_pad, 1))
     t = 8
-    while t < 64 and t * 2 <= cap and t < batch:
+    while t < 128 and t * 2 <= cap and t < batch:
         t *= 2
     return t
 

@@ -113,6 +113,18 @@ def _row_chars(qf, iota_col, blk, R, n_pad):
 # bookkeeping; m_pad is always a multiple (buckets are >= 64 and pow2-ish).
 ROW_UNROLL = 4
 
+# Lane budget for the unrolled body: _grid_call raises the Mosaic
+# scoped-VMEM limit to the kernel footprint (~48 rows, 100 MiB ceiling),
+# under which R=4 compiles and wins at every measured tile up to 32x32768
+# = 1Mi lanes (fit 27.8 GCUPS). The cap guards the ceiling itself.
+UNROLL_LANE_CAP = 1 << 22
+
+
+def _pick_unroll(tile_b, m_pad, n_pad):
+    if m_pad % ROW_UNROLL != 0 or tile_b * n_pad > UNROLL_LANE_CAP:
+        return 1
+    return ROW_UNROLL
+
 
 def _affine_kernel(mode, m_pad, n_pad, q_ref, t_ref, n_ref, m_ref, p_ref,
                    out_ref):
@@ -185,7 +197,7 @@ def _affine_kernel(mode, m_pad, n_pad, q_ref, t_ref, n_ref, m_ref, p_ref,
             )
         return m_row, l_row, best, accrow
 
-    R = ROW_UNROLL if m_pad % ROW_UNROLL == 0 else 1
+    R = _pick_unroll(q_ref.shape[0], m_pad, n_pad)
 
     def block(blk, carry):
         mp, lp, best, accrow = carry
@@ -240,7 +252,7 @@ def _overlap_kernel(m_pad, n_pad, q_ref, t_ref, n_ref, m_ref, p_ref, out_ref):
         accrow = jnp.where(i == m_col, m_row, accrow)
         return m_row, accrow
 
-    R = ROW_UNROLL if m_pad % ROW_UNROLL == 0 else 1
+    R = _pick_unroll(q_ref.shape[0], m_pad, n_pad)
 
     def block(blk, carry):
         mp, accrow = carry
@@ -283,7 +295,7 @@ def _edit_kernel(m_pad, n_pad, q_ref, t_ref, n_ref, m_ref, p_ref, out_ref):
         accrow = jnp.where(i == m_col, row_v, accrow)
         return row_v, accrow
 
-    R = ROW_UNROLL if m_pad % ROW_UNROLL == 0 else 1
+    R = _pick_unroll(q_ref.shape[0], m_pad, n_pad)
 
     def block(blk, carry):
         prev, accrow = carry
@@ -310,23 +322,28 @@ def _fit_kernel(use_jump, m_pad, n_pad, q_ref, t_ref, allow_ref, n_ref,
     t = t_ref[:, :].astype(jnp.float32)
     qf = q_ref[:, :].astype(jnp.float32)
     iota_col = jax.lax.broadcasted_iota(jnp.int32, (m_pad, 1), 0)
-    n_col = n_ref[:, :]
     m_col = m_ref[:, :]
-    jcol = jax.lax.broadcasted_iota(jnp.int32, (q_ref.shape[0], n_pad), 1) + 1
-    jcol_f = jcol.astype(jnp.float32)
-    mask_lt_n = jcol <= n_col - 1
+    jcol_f = (
+        jax.lax.broadcasted_iota(jnp.int32, (q_ref.shape[0], n_pad), 1) + 1
+    ).astype(jnp.float32)
     zrow = t * 0.0
     zcol = jnp.max(zrow, axis=1, keepdims=True)
     neg_col = zcol + NEG
-    ej = e * jcol_f            # hoisted row constants
-    oj = o - ej
+    ej = e * jcol_f            # hoisted row constant (oj derived per row:
+    #                            one extra vector op buys back a live
+    #                            (tile_b, n_pad) buffer — this kernel rides
+    #                            the 16 MiB scoped-VMEM line at 8x32768)
     # row 0: M=U=0, L=J=-inf (alignment.h:619-624) -> combined max = 0
     m_init = zrow
     l_init = zrow + NEG
     best_init = zrow
     accrow0 = zrow + NEG
     if use_jump:
-        allow = allow_ref[:, :]
+        # fold the entry mask into a jump-bias row: sm + jbias is
+        # sm + jp where entry is allowed and -inf elsewhere (finite + -inf
+        # and -inf + -inf both give -inf), replacing the per-row
+        # compare+select and retiring the raw allow row
+        jbias = jnp.where(allow_ref[:, :] > 0.0, jp, NEG)
 
     def one_row(idx, qc, mp, lp, best, accrow):
         i = idx + 1
@@ -340,16 +357,16 @@ def _fit_kernel(use_jump, m_pad, n_pad, q_ref, t_ref, allow_ref, n_ref,
         # one shifted m_row feeds both the U scan and the J scan; the
         # U(i,0) = -inf seed is a no-op under max, so no seed fold needed
         sm = _shift_in(m_row, neg_col)
-        u_row = _cummax_lanes(sm + oj) + ej
+        u_row = _cummax_lanes(sm + (o - ej)) + ej
         best_ml = jnp.maximum(m_row, l_row)
         best = jnp.maximum(best_ml, u_row)
         if use_jump:
-            j_row = _cummax_lanes(jnp.where(allow > 0.0, sm + jp, NEG))
+            j_row = _cummax_lanes(sm + jbias)
             best = jnp.maximum(best, j_row)
         accrow = jnp.where(i == m_col, best_ml, accrow)
         return m_row, l_row, best, accrow
 
-    R = ROW_UNROLL if m_pad % ROW_UNROLL == 0 else 1
+    R = _pick_unroll(q_ref.shape[0], m_pad, n_pad)
 
     def block(blk, carry):
         mp, lp, best, accrow = carry
@@ -363,6 +380,9 @@ def _fit_kernel(use_jump, m_pad, n_pad, q_ref, t_ref, allow_ref, n_ref,
     _, _, _, accrow = jax.lax.fori_loop(
         0, m_pad // R, block, (m_init, l_init, best_init, accrow0)
     )
+    # final-scan mask built AFTER the loop so it isn't live across it
+    jcol = jax.lax.broadcasted_iota(jnp.int32, (q_ref.shape[0], n_pad), 1) + 1
+    mask_lt_n = jcol <= n_ref[:, :] - 1
     fin = jnp.max(jnp.where(mask_lt_n, accrow, NEG), axis=1, keepdims=True)
     out_ref[:, :] = fin
 
@@ -385,6 +405,16 @@ def _grid_call(kernel, nin, m_pad, n_pad, B, interpret, tile_b=TILE_B):
         pl.BlockSpec((tile_b, 1), lambda b: (b, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 8), lambda b: (0, 0), memory_space=pltpu.SMEM),
     ]
+    kwargs = {}
+    if not interpret:
+        # the fill's live set is ~20-24 (tile_b, n_pad) f32 rows plus
+        # double-buffered input blocks; the Mosaic default scoped-VMEM
+        # limit (16 MiB) rejects 8x32768 fit, so size the limit to the
+        # footprint (v5e has 128 MiB VMEM)
+        need = 48 * tile_b * n_pad * 4
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=int(min(100 * 2**20, max(16 * 2**20, need))),
+        )
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -393,6 +423,7 @@ def _grid_call(kernel, nin, m_pad, n_pad, B, interpret, tile_b=TILE_B):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, 1), jnp.float32),
         interpret=interpret,
+        **kwargs,
     )
 
 

@@ -84,8 +84,8 @@ def run_pipeline(
         rec_pairs = read_pair_records(path)
     if mode != "fit" and use_sites:
         raise ValueError("junction sites are only meaningful in fit mode")
-    if band is not None and mode not in ("global", "local", "edit"):
-        raise ValueError("--band covers global, local, and edit modes")
+    if band is not None and use_sites:
+        raise ValueError("--band does not support the fit jump state")
 
     manifest = None
     if manifest_path:

@@ -92,8 +92,12 @@ def bench_case(mode, engine, B, L, rng):
         pm[0, :5] = [1, -2, -5, -1, -10]
         pm = jnp.asarray(pm)
 
+        from aligntools_tpu.engine.select import flat_tile_b
+        tile = flat_tile_b(B, L)
+
         def one(qs):
-            return pk.pallas_scores(mode, L, L, False, qs, ts, ns, ms, pm)
+            return pk.pallas_scores(mode, L, L, False, qs, ts, ns, ms, pm,
+                                    tile_b=tile)
 
     per = _amortized(_chain(one, jnp.asarray(qs)))
     return B * L * L / per / 1e9, per
@@ -136,9 +140,12 @@ def bench_fit_jump(engine, B, m, L, rng):
                     "fit", True, m, L, 8192, False, qs, ts, allow, ns, ms, pm
                 )
         else:
+            from aligntools_tpu.engine.select import flat_tile_b
+            tile = flat_tile_b(B, L)
+
             def one(qs):
                 return pk.pallas_fit_scores(
-                    True, m, L, False, qs, ts, allow, ns, ms, pm
+                    True, m, L, False, qs, ts, allow, ns, ms, pm, tile_b=tile
                 )
 
     per = _amortized(_chain(one, jnp.asarray(qs)))

@@ -52,8 +52,12 @@ def test_similar_pairs_small_band(mode):
     for _ in range(6):
         q, t = _similar_pair(rng, 300, mutations=12, indels=4)
         want = batch_scores(mode, [(q, t)], p)[0]
-        score, band = banded_score_auto(mode, q, t, p, band0=48)
+        score, band, cert = banded_score_auto(mode, q, t, p, band0=48)
         assert score == want, (mode, len(q), len(t), band)
+        if mode == "global":
+            # the crossing certificate discharges central global pairs at
+            # a band far below the matrix size
+            assert cert and band < 300, band
 
 
 def test_band_too_small_raises():
@@ -84,8 +88,9 @@ def test_banded_edit():
         want = spec_edit(q, t, p)
         full, _ = banded_score("edit", q, t, max(len(q), len(t)), p)
         assert int(full) == want
-        score, band = banded_score_auto("edit", q, t, p, band0=32)
+        score, band, cert = banded_score_auto("edit", q, t, p, band0=32)
         assert int(score) == want and band < len(q)
+        assert cert  # u=1 >= 0: the min-plus crossing bound certifies
 
 
 @pytest.mark.parametrize("mode", ["global", "local"])
@@ -127,6 +132,72 @@ def test_banded_rows_small_band(mode):
         else:
             assert u1 in q and u2 in t
         assert len(r.row1) == len(r.row2)
+
+
+@pytest.mark.parametrize("mode", ["fit", "overlap"])
+def test_banded_fit_overlap_full_band(mode):
+    """Full-cover band equals the spec oracle for the bottom-row-start
+    modes (fit sans jump: alignment.h:596-694; overlap: 926-964)."""
+    from aligntools_tpu.spec import engine as sp
+
+    rng = np.random.default_rng(117)
+    for pd in (dict(), dict(match=2, mismatch=-3, gap_open=-1,
+                            gap_extend=-2)):
+        p = AlignParams(**pd)
+        for _ in range(8):
+            m = int(rng.integers(2, 50))
+            n = int(rng.integers(m, 70))
+            q = bytes(rng.choice(ALPHA, m).tolist())
+            t = bytes(rng.choice(ALPHA, n).tolist())
+            score, _ = banded_score(mode, q, t, max(m, n), p)
+            want = getattr(sp, f"spec_{mode}")(q, t, p).score
+            assert score == want, (mode, pd, q, t)
+
+
+@pytest.mark.parametrize("mode", ["fit", "overlap"])
+def test_banded_fit_overlap_auto_certified(mode):
+    """certified=True from the auto protocol implies the exact score."""
+    from aligntools_tpu.spec import engine as sp
+
+    rng = np.random.default_rng(119)
+    p = AlignParams(match=2, mismatch=-2, gap_open=-4, gap_extend=-1)
+    for _ in range(10):
+        m = int(rng.integers(4, 40))
+        n = int(rng.integers(m, 80))
+        t = rng.choice(ALPHA, n)
+        q = t[:m].copy()  # prefix-anchored: in-band for fit and overlap
+        mut = rng.random(m) < 0.08
+        q[mut] = rng.choice(ALPHA, int(mut.sum()))
+        q, t = bytes(q.tolist()), bytes(t.tolist())
+        sc, band, cert = banded_score_auto(mode, q, t, p, band0=16)
+        want = getattr(sp, f"spec_{mode}")(q, t, p).score
+        if cert:
+            assert sc == want, (mode, q, t, band)
+
+
+def test_adversarial_plateau_band_doubling():
+    """The score-plateau stopping rule is provably unsafe: q's perfect
+    copy sits 64 columns off the diagonal, so bands 8 and 16 agree on a
+    wrong local score (both all-mismatch windows -> 0). The certificate
+    refuses to certify the plateau, and the certificate-driven auto
+    protocol keeps doubling to the exact score."""
+    from aligntools_tpu.engine.banded import band_certificate
+
+    p = AlignParams(match=10, mismatch=-1, gap_open=-20, gap_extend=-5)
+    q = b"C" * 16
+    t = b"A" * 64 + b"C" * 16
+    full = batch_scores("local", [(q, t)], p)[0]
+    s8, _ = banded_score("local", q, t, 8, p)
+    s16, _ = banded_score("local", q, t, 16, p)
+    assert s8 == s16 != full  # the plateau lies
+    assert s16 < band_certificate("local", len(q), len(t), 16, p)
+    score, band, cert = banded_score_auto("local", q, t, p, band0=8)
+    assert cert and score == full, (score, band)
+
+
+def test_banded_fit_rejects_jump_and_long_query():
+    with pytest.raises(ValueError):
+        banded_score("fit", b"ACGTACGT", b"ACG", 8)
 
 
 def test_banded_batch_end_cell_check_edit():
