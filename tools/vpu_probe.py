@@ -112,6 +112,62 @@ def vmem_ceiling(shape=(32, 1024), chain=2048):
             print(f"  {dtype:8s}: ERROR {str(err)[:140]}")
 
 
+def vpu_roofline(shape=(64, 2048), chain=256, width=8):
+    """Saturated VPU op ceiling: ``width`` INDEPENDENT max/add chains per
+    loop iteration (ILP hides the loop-carried latency that bounds the
+    single-chain probes above — those measure latency, not throughput).
+    This is the number DESIGN.md 4's speed-of-light argument divides by:
+    a DP fill doing ~19 VPU ops/cell cannot beat (ceiling / 19) GCUPS."""
+    import functools as ft
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    print(f"# VPU roofline, shape {shape}, chain {chain}, width {width}")
+    for dtype in ("float32", "int32", "bfloat16", "int16"):
+        dt = jnp.dtype(dtype)
+
+        def kern(a_ref, b_ref, out_ref):
+            a = a_ref[:, :]
+            b = b_ref[:, :]
+
+            def body(k, ys):
+                return tuple(jnp.maximum(y + a, b) - a for y in ys)
+
+            ys = jax.lax.fori_loop(
+                0, chain, body, tuple(b + i for i in range(width))
+            )
+            acc = ys[0]
+            for y in ys[1:]:
+                acc = acc + y
+            out_ref[:, :] = acc
+
+        @ft.partial(jax.jit, static_argnums=(0,))
+        def run_k(K, a, b):
+            def outer(k, carry):
+                r = pl.pallas_call(
+                    kern,
+                    out_shape=jax.ShapeDtypeStruct(shape, dt),
+                    in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+                    out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+                )(carry, b)
+                # real serial dependency (XLA folds where(p, x, x) and
+                # x + r*0, which silently DCEs the kernel): feed r back
+                # as the next 'a'; values stabilize after one iteration
+                return jnp.maximum(carry, r)
+
+            return jax.lax.fori_loop(0, K, outer, a)
+
+        try:
+            a = jnp.asarray(np.ones(shape), dt)
+            b = jnp.asarray(np.zeros(shape), dt)
+            per = _amortized(lambda K: run_k(K, a, b))
+            ops = 3 * width * np.prod(shape) * chain / per
+            print(f"  {dtype:8s}: {ops/1e12:7.3f} Tops/s")
+        except Exception as err:
+            print(f"  {dtype:8s}: ERROR {str(err)[:120]}")
+
+
 def pallas_tile_scaling(quick=False):
     from aligntools_tpu.ops import pallas_scan as pk
 
@@ -167,4 +223,5 @@ if __name__ == "__main__":
     quick = "--quick" in sys.argv
     print(f"backend: {jax.default_backend()} {jax.devices()[0].device_kind}")
     elementwise_ceiling(chain=128 if quick else 512)
+    vpu_roofline(chain=64 if quick else 256)
     pallas_tile_scaling(quick)
