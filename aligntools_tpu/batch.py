@@ -192,16 +192,20 @@ def _pallas_bucket_full(mode, b, params, use_jump, pairs, results):
     from aligntools_tpu.ops import pallas_ptr as pp
 
     args, B, qs_np, ts_np = _kernel_arrays(b, params)
+    jump = use_jump and mode == "fit"
+    # nibble-pack pointers whenever the mode allows (everything but
+    # fit+jump): halves pointer HBM, doubling full-alignment capacity
+    pack = not jump and b.m_pad % 16 == 0
     if _select.use_blocked(mode, b.n_pad):
         from aligntools_tpu.ops.pallas_blocked import blocked_ptr_fill
 
         score, a, bb, ptrs = blocked_ptr_fill(
-            mode, use_jump and mode == "fit", b.m_pad, b.n_pad,
-            _select.BLOCKED_C_BLK, False, *args
+            mode, jump, b.m_pad, b.n_pad,
+            _select.BLOCKED_C_BLK, False, *args, pack=pack
         )
     else:
         score, a, bb, ptrs = pp.pallas_ptr_fill(
-            mode, use_jump and mode == "fit", b.m_pad, b.n_pad, False, *args
+            mode, jump, b.m_pad, b.n_pad, False, *args, pack=pack
         )
     score = np.asarray(score)[:B]
     a = np.asarray(a)[:B]
@@ -220,7 +224,8 @@ def _pallas_bucket_full(mode, b, params, use_jump, pairs, results):
         starts = [(0, b.m[r], int(a[r])) for r in range(B)]
     bpairs = [pairs[k] for k in b.idx]
     rows = device_tb.batch_traceback(
-        mode, ptrs[:B], qs_np[:B], ts_np[:B], bpairs, starts, col_base=1
+        mode, ptrs[:B], qs_np[:B], ts_np[:B], bpairs, starts, col_base=1,
+        pack4=pack,
     )
     for r, k in enumerate(b.idx):
         results[k] = AlignResult(float(score[r]), *rows[r])

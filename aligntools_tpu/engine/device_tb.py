@@ -38,13 +38,17 @@ _DONE, _ERR = 4, 5
 _GAP = np.uint8(ord("-"))
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2))
-def _walk_affine(stop_at_j0, n_steps, col_base, ptrs, qs, ts, state0, i0, j0):
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4))
+def _walk_affine(stop_at_j0, n_steps, col_base, pack4, code3_home,
+                 ptrs, qs, ts, state0, i0, j0):
     """Batched walk for global/local/fit.
 
     ptrs (B, R, C) uint8; qs (B, m_pad) i32; ts (B, n_pad) i32;
     state0/i0/j0 (B,) i32. stop_at_j0: True for global/local (while i>0 and
-    j>0), False for fit (while i>0). Returns stacked (n_steps, B) char
+    j>0), False for fit (while i>0). ``pack4``: nibble layout — two DP
+    rows per byte, pM 2 bits with code 3 meaning HOME when ``code3_home``
+    (local) else unset/ERR (global/fit), pL/pU at bits 2/3, no jump state
+    (ops/pallas_ptr.py docstring). Returns stacked (n_steps, B) char
     columns (walk order), per-pair emitted length, final (i, j), err flag.
     """
     B = ptrs.shape[0]
@@ -55,24 +59,35 @@ def _walk_affine(stop_at_j0, n_steps, col_base, ptrs, qs, ts, state0, i0, j0):
         active = (state < _DONE) & (i > 0)
         if stop_at_j0:
             active = active & (j > 0)
-        byte = ptrs[bidx, jnp.maximum(i - 1, 0), jnp.maximum(j - col_base, 0)]
-        byte = byte.astype(jnp.int32)
-        code = byte & 0x7
-        # next-state decode per current state
-        nxt_mid = jnp.where(
-            code == PK_M_UNSET,
-            _ERR,
-            jnp.where(code <= 3, code, _DONE),  # 0-3 = LOW/MID/UPP/JUMP; 4=HOME
-        )
+        row = jnp.maximum(i - 1, 0)
+        if pack4:
+            byte = ptrs[bidx, row >> 1, jnp.maximum(j - col_base, 0)]
+            byte = byte.astype(jnp.int32)
+            byte = jnp.where(row & 1, byte >> 4, byte) & 0xF
+            code = byte & 0x3
+            code3 = jnp.int32(_DONE if code3_home else _ERR)
+            nxt_mid = jnp.where(code == 3, code3, code)
+            l_is_mid, u_is_upp = byte & 0x4, byte & 0x8
+        else:
+            byte = ptrs[bidx, row, jnp.maximum(j - col_base, 0)]
+            byte = byte.astype(jnp.int32)
+            code = byte & 0x7
+            # next-state decode per current state
+            nxt_mid = jnp.where(
+                code == PK_M_UNSET,
+                _ERR,
+                jnp.where(code <= 3, code, _DONE),  # 0-3 LOW/MID/UPP/JUMP; 4 HOME
+            )
+            l_is_mid, u_is_upp = byte & PK_L_IS_MID, byte & PK_U_IS_UPP
         nxt = jnp.where(
             state == _MID,
             nxt_mid,
             jnp.where(
                 state == _LOW,
-                jnp.where(byte & PK_L_IS_MID, _MID, _LOW),
+                jnp.where(l_is_mid, _MID, _LOW),
                 jnp.where(
                     state == _UPP,
-                    jnp.where(byte & PK_U_IS_UPP, _UPP, _MID),
+                    jnp.where(u_is_upp, _UPP, _MID),
                     jnp.where(byte & PK_J_IS_JUMP, _JUMP, _MID),
                 ),
             ),
@@ -108,13 +123,15 @@ def _walk_affine(stop_at_j0, n_steps, col_base, ptrs, qs, ts, state0, i0, j0):
     return cols1, cols2, count, fi, fj, fstate, err
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2))
-def _walk_overlap(n_steps, col_base, pause_at_i0, ptrs, qs, ts, i0, j0):
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
+def _walk_overlap(n_steps, col_base, pause_at_i0, pack4, ptrs, qs, ts,
+                  i0, j0):
     """Batched overlap walk (while j>0; 2-bit codes move directly).
 
     ``pause_at_i0``: True for the block-resumable rescan walk — at i == 0
     the walk simply stops emitting (the caller resumes in the row block
-    above) instead of flagging the reference's i<=0 UB as an error."""
+    above) instead of flagging the reference's i<=0 UB as an error.
+    ``pack4``: two DP rows per byte (row 2k low nibble)."""
     B = ptrs.shape[0]
     bidx = jnp.arange(B)
 
@@ -123,7 +140,12 @@ def _walk_overlap(n_steps, col_base, pause_at_i0, ptrs, qs, ts, i0, j0):
         active = (~done) & (j > 0)
         if pause_at_i0:
             active = active & (i > 0)
-        byte = ptrs[bidx, jnp.maximum(i - 1, 0), jnp.maximum(j - col_base, 0)]
+        row = jnp.maximum(i - 1, 0)
+        if pack4:
+            byte = ptrs[bidx, row >> 1, jnp.maximum(j - col_base, 0)]
+            byte = jnp.where(row & 1, byte >> 4, byte)
+        else:
+            byte = ptrs[bidx, row, jnp.maximum(j - col_base, 0)]
         code = (byte & 0x3).astype(jnp.int32)
         bad = active & ((code == 3) | (i <= 0))
         takes_q = code != 0  # DIAG/RIGHT consume query
@@ -150,7 +172,7 @@ def _walk_overlap(n_steps, col_base, pause_at_i0, ptrs, qs, ts, i0, j0):
 
 
 def batch_traceback(mode, ptrs_dev, qs_np, ts_np, pairs, starts,
-                    col_base=0):
+                    col_base=0, pack4=False):
     """Walk a whole bucket on-device; assemble final rows on the host.
 
     ``ptrs_dev``: device (B, R, C) uint8 pointer tensor (stays on device);
@@ -159,7 +181,8 @@ def batch_traceback(mode, ptrs_dev, qs_np, ts_np, pairs, starts,
     (state0, i0, j0) ints (state encoding of _walk_affine, ignored for
     overlap). ``col_base``: 0 when the pointer tensor includes column 0
     (XLA engine), 1 when it starts at column 1 (Pallas ptr kernel).
-    Returns [(row1, row2)] per pair.
+    ``pack4``: nibble-packed pointer tensor (R = m_pad/2; pallas_ptr.py
+    ``pack=True`` layout). Returns [(row1, row2)] per pair.
     """
     B = ptrs_dev.shape[0]
     n_steps = int(qs_np.shape[1] + ts_np.shape[1] + 1)
@@ -169,7 +192,7 @@ def batch_traceback(mode, ptrs_dev, qs_np, ts_np, pairs, starts,
         i0 = jnp.asarray([s[1] for s in starts], jnp.int32)
         j0 = jnp.asarray([s[2] for s in starts], jnp.int32)
         cols1, cols2, count, _, _, _, err = _walk_overlap(
-            n_steps, col_base, False, ptrs_dev, qs_d, ts_d, i0, j0
+            n_steps, col_base, False, pack4, ptrs_dev, qs_d, ts_d, i0, j0
         )
         fi = fj = None
     else:
@@ -177,8 +200,8 @@ def batch_traceback(mode, ptrs_dev, qs_np, ts_np, pairs, starts,
         i0 = jnp.asarray([s[1] for s in starts], jnp.int32)
         j0 = jnp.asarray([s[2] for s in starts], jnp.int32)
         cols1, cols2, count, fi, fj, _, err = _walk_affine(
-            mode != "fit", n_steps, col_base, ptrs_dev, qs_d, ts_d, state0,
-            i0, j0,
+            mode != "fit", n_steps, col_base, pack4, mode == "local",
+            ptrs_dev, qs_d, ts_d, state0, i0, j0,
         )
     # pack device-side so the tunnel sees ONE bulk transfer for the char
     # planes and one small one for the scalars (each np.asarray round-trip

@@ -371,7 +371,7 @@ def blocked_scores(mode, use_jump, m_pad, n_pad, c_blk, interpret,
 SROW = 8  # rows per staged pointer DMA (uint8 slice alignment)
 
 
-def _blocked_ptr_kernel(mode, use_jump, m_pad, c_blk, q_ref, t_ref,
+def _blocked_ptr_kernel(mode, use_jump, pack, m_pad, c_blk, q_ref, t_ref,
                         allow_ref, n_ref, m_ref, p_ref,
                         score_ref, a_ref, b_ref, ptr_ref,
                         bnd_ref, stage_ref, sem_ref):
@@ -388,8 +388,15 @@ def _blocked_ptr_kernel(mode, use_jump, m_pad, c_blk, q_ref, t_ref,
     and the smallest j within each matrix (alignment.h:672-690).
     Overlap scans the bottom row with the j=0 zero candidate folded into
     block 0 (alignment.h:950-959). Modes: global / local / fit(+jump) /
-    overlap.
+    overlap. ``pack``: nibble layout, two DP rows per byte (pallas_ptr.py
+    docstring) — not available with use_jump.
     """
+    if pack:
+        K_HOME = K_UNSET = 3
+        LBIT, UBIT = 1 << 2, 1 << 3
+    else:
+        K_HOME, K_UNSET = 4, 7
+        LBIT, UBIT = 1 << 3, 1 << 4
     c = pl.program_id(1)
     b0 = pl.program_id(0) * TILE_B
     match, mis = p_ref[0, 0], p_ref[0, 1]
@@ -595,12 +602,12 @@ def _blocked_ptr_kernel(mode, use_jump, m_pad, c_blk, q_ref, t_ref,
             m_row = jnp.maximum(best3, cand_j)
             pm = jnp.where(take_j, 3, pm)
         if mode == "local":
-            pm = jnp.where(m_row >= 0.0, pm, 4)  # 0.0 HOME is the LAST arg
+            pm = jnp.where(m_row >= 0.0, pm, K_HOME)  # 0.0 HOME: LAST arg
             m_row = jnp.maximum(m_row, 0.0)
-        pm = jnp.where(m_row > NEG, pm, 7)
+        pm = jnp.where(m_row > NEG, pm, K_UNSET)
         la_, lb_ = lp + e, mp + o
         l_row = jnp.maximum(la_, lb_)
-        plb = jnp.where(la_ >= lb_, 0, 1 << 3)
+        plb = jnp.where(la_ >= lb_, 0, LBIT)
         bMi, _, bUi, _ = border_cols(i_f)
         m_edge_cur = jnp.where(first_blk, zcol + bMi, eM_cur)
         u_edge_cur = jnp.where(first_blk, zcol + bUi, eU_cur)
@@ -612,7 +619,7 @@ def _blocked_ptr_kernel(mode, use_jump, m_pad, c_blk, q_ref, t_ref,
         )
         u_row = v + e * jcol_f
         uh = _shift_in(u_row, u_edge_cur)
-        pub = jnp.where(mh + o >= uh + e, 0, 1 << 4)
+        pub = jnp.where(mh + o >= uh + e, 0, UBIT)
         if use_jump:
             j_edge_cur = jnp.where(first_blk, zcol + NEG, eJ_cur)
             jc = jnp.where(allow > 0.0, mh + jp, NEG)
@@ -682,20 +689,27 @@ def _blocked_ptr_kernel(mode, use_jump, m_pad, c_blk, q_ref, t_ref,
             )
         return (m_row, l_row, u_row, j_row, nM, nL, nU, nJ, acc), packed
 
+    rows_per_iter = 2 * SROW if pack else SROW
+
     def super_row(srow, carry):
         packs = []
-        for sub_i in range(SROW):
-            carry, packed = row_step(srow * SROW + sub_i, carry)
-            packs.append(packed.astype(jnp.uint8))
-        send_srow(srow, jnp.stack(packs, axis=1))
+        for sub_i in range(rows_per_iter):
+            carry, packed = row_step(srow * rows_per_iter + sub_i, carry)
+            packs.append(packed)
+        if pack:
+            packs = [packs[2 * k] | (packs[2 * k + 1] << 4)
+                     for k in range(SROW)]
+        send_srow(
+            srow, jnp.stack([p_.astype(jnp.uint8) for p_ in packs], axis=1)
+        )
         return carry
 
     acc0 = (zcol + NEG, zcol_i, zcol_i)
     init = (m_init, l_init, u_init, j_init,
             zbnd + NEG, zbnd + NEG, zbnd + NEG, zbnd + NEG, acc0)
-    out = jax.lax.fori_loop(0, m_pad // SROW, super_row, init)
+    out = jax.lax.fori_loop(0, m_pad // rows_per_iter, super_row, init)
     nM, nL, nU, nJ, acc = out[4], out[5], out[6], out[7], out[8]
-    n_srows = m_pad // SROW
+    n_srows = m_pad // rows_per_iter
     for sr in (n_srows - 2, n_srows - 1):
         if sr < 0:
             continue
@@ -738,15 +752,19 @@ def _blocked_ptr_kernel(mode, use_jump, m_pad, c_blk, q_ref, t_ref,
 BIG = 1 << 30
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5))
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 12))
 def blocked_ptr_fill(mode, use_jump, m_pad, n_pad, c_blk, interpret,
-                     qs, ts, allow, ns, ms, params):
+                     qs, ts, allow, ns, ms, params, pack=False):
     """Blocked full fill: returns (score (B,), a (B,), b (B,),
-    ptrs (B, m_pad, n_pad) uint8 device-resident). m_pad % 8 == 0."""
-    assert n_pad % c_blk == 0 and m_pad % SROW == 0
+    ptrs uint8 device-resident — (B, m_pad, n_pad), or (B, m_pad/2,
+    n_pad) nibble-packed when ``pack``). m_pad % 8 == 0 (16 with pack);
+    fit+jump cannot pack."""
+    assert n_pad % c_blk == 0 and m_pad % ((2 if pack else 1) * SROW) == 0
+    assert not (pack and use_jump)
     B = qs.shape[0]
-    kern = functools.partial(_blocked_ptr_kernel, mode, use_jump, m_pad,
-                             c_blk)
+    r_out = m_pad // 2 if pack else m_pad
+    kern = functools.partial(_blocked_ptr_kernel, mode, use_jump, pack,
+                             m_pad, c_blk)
     grid = (B // TILE_B, n_pad // c_blk)
     score, a, b, ptrs = pl.pallas_call(
         kern,
@@ -778,7 +796,7 @@ def blocked_ptr_fill(mode, use_jump, m_pad, n_pad, c_blk, interpret,
             jax.ShapeDtypeStruct((B, 1), jnp.float32),
             jax.ShapeDtypeStruct((B, 1), jnp.int32),
             jax.ShapeDtypeStruct((B, 1), jnp.int32),
-            jax.ShapeDtypeStruct((B, m_pad, n_pad), jnp.uint8),
+            jax.ShapeDtypeStruct((B, r_out, n_pad), jnp.uint8),
         ),
         scratch_shapes=[
             pltpu.VMEM((4, TILE_B, m_pad), jnp.float32),

@@ -6,6 +6,18 @@ on-device traceback-start info, so the complete alignment pipeline —
 fill + packed pointers + batched device walk (engine/device_tb.py) — runs
 on the chip with only the walked rows crossing the host link.
 
+With ``pack=True`` (every mode except fit+jump) each cell needs only
+4 bits — pM is 2 bits because code 3 doubles as the mode's fourth value
+(HOME for local, where M = max(..., 0) is never -inf; UNSET for
+global/fit, which have no HOME; overlap's 2-bit codes fit as-is) plus
+the pL/pU flag bits at 1<<2 / 1<<3 — so TWO consecutive DP rows share
+one byte (row 2k in the low nibble) and the pointer tensor is
+(B, m_pad/2, n_pad): half the HBM of the byte layout, doubling the
+full-alignment bucket capacity. fit+jump keeps the byte layout: pM
+spans 5 values (LOW/MID/UPP/JUMP/unset) and pJ needs its own bit —
+40 states cannot fit a nibble. Decode lives in engine/device_tb.py
+(one shift+mask per walk step; the walk is gather-bound, so free).
+
 Pointer rows are built in a double-buffered VMEM staging buffer and
 DMA'd to the HBM-resident output tensor row by row, overlapping the next
 row's compute (the classic Pallas double-buffering pattern); the output
@@ -67,15 +79,25 @@ def _first_eq_j(vec, target, mask, jcol):
     return jnp.min(jnp.where(hit, jcol, BIG), axis=1, keepdims=True)
 
 
-def _ptr_kernel(mode, use_jump, m_pad, n_pad,
+def _ptr_kernel(mode, use_jump, pack, m_pad, n_pad,
                 q_ref, t_ref, allow_ref, n_ref, m_ref, p_ref,
                 score_ref, a_ref, b_ref, ptr_ref, stage_ref, sem_ref):
     """Unified pointer-emitting kernel: mode in global/local/fit/overlap.
 
     Outputs: score (8,1) f32; a/b (8,1) i32 start info (global: a=state;
     local: a=i_max, b=j_max; fit: a=state(0 MID/1 LOW), b=j_max; overlap:
-    a=j_max); ptr (TILE_B, m_pad, n_pad) uint8 in HBM (cols 1..n_pad).
+    a=j_max); ptr (TILE_B, m_pad, n_pad) uint8 in HBM (cols 1..n_pad),
+    or (TILE_B, m_pad/2, n_pad) nibble-packed when ``pack`` (module
+    docstring).
     """
+    if pack:
+        # nibble layout: pM 2 bits (3 = HOME for local, UNSET for
+        # global/fit), pL at 1<<2, pU at 1<<3; no jump state
+        K_HOME = K_UNSET = 3
+        LBIT, UBIT = 1 << 2, 1 << 3
+    else:
+        K_HOME, K_UNSET = PK_HOME, PK_UNSET
+        LBIT, UBIT = PK_L_IS_MID, PK_U_IS_UPP
     match, mis = p_ref[0, 0], p_ref[0, 1]
     o, e, jp = p_ref[0, 2], p_ref[0, 3], p_ref[0, 4]
     t = t_ref[:, :].astype(jnp.float32)
@@ -191,12 +213,12 @@ def _ptr_kernel(mode, use_jump, m_pad, n_pad,
             codes.append(PK_JUMP)
         if mode == "local":
             cands.append(zrow)  # the 0.0 HOME candidate (NO +sub)
-            codes.append(PK_HOME)
+            codes.append(K_HOME)
         m_row, pm = _argsel(cands, codes)
-        pm = jnp.where(m_row > NEG, pm, PK_UNSET)
+        pm = jnp.where(m_row > NEG, pm, K_UNSET)
         la, lb2 = lp + e, mp + o
         l_row = jnp.maximum(la, lb2)
-        plbit = jnp.where(la >= lb2, 0, PK_L_IS_MID)
+        plbit = jnp.where(la >= lb2, 0, LBIT)
         # _u_row's shift-in border is M(i, 0) of the CURRENT row:
         # global/fit -inf, local 0 (col-0 borders, alignment.h:428-441 /
         # 612-617 / calloc)
@@ -204,7 +226,7 @@ def _ptr_kernel(mode, use_jump, m_pad, n_pad,
         u_row = _u_row(m_row, m_border_cur, u0, o, e, jcol_f)
         ua = _shift_in(m_row, m_border_cur) + o
         ub2 = _shift_in(u_row, zcol + (0.0 if mode == "local" else NEG)) + e
-        pubit = jnp.where(ua >= ub2, 0, PK_U_IS_UPP)
+        pubit = jnp.where(ua >= ub2, 0, UBIT)
         if use_jump:
             jc = jnp.where(allow > 0.0, _shift_in(m_row, m_border_cur) + jp,
                            NEG)
@@ -265,21 +287,30 @@ def _ptr_kernel(mode, use_jump, m_pad, n_pad,
             )
         return (m_row, l_row, u_row, j_row, acc), packed
 
+    rows_per_iter = 2 * SROW if pack else SROW
+
     def super_row(srow, carry):
         packs = []
-        for sub in range(SROW):
-            carry, packed = row_step(srow * SROW + sub, carry)
-            packs.append(packed.astype(jnp.uint8))
-        packed4 = jnp.stack(packs, axis=1)  # (TILE_B, SROW, n_pad)
+        for sub in range(rows_per_iter):
+            carry, packed = row_step(srow * rows_per_iter + sub, carry)
+            packs.append(packed)
+        if pack:
+            # DP rows 2k / 2k+1 share a byte: low / high nibble
+            packs = [packs[2 * k] | (packs[2 * k + 1] << 4)
+                     for k in range(SROW)]
+        packed4 = jnp.stack(
+            [pk.astype(jnp.uint8) for pk in packs], axis=1
+        )  # (TILE_B, SROW, n_pad)
         send_srow(srow, packed4)
         return carry
 
     acc0 = (zcol + NEG, zcol_i, zcol_i)
     *_, acc = jax.lax.fori_loop(
-        0, m_pad // SROW, super_row, (m_init, l_init, u_init, j_init, acc0)
+        0, m_pad // rows_per_iter, super_row,
+        (m_init, l_init, u_init, j_init, acc0),
     )
     # drain the last two in-flight super-row DMAs
-    n_srows = m_pad // SROW
+    n_srows = m_pad // rows_per_iter
     for sr in (n_srows - 2, n_srows - 1):
         if sr < 0:
             continue
@@ -294,15 +325,20 @@ def _ptr_kernel(mode, use_jump, m_pad, n_pad,
     b_ref[:, :] = acc[2]
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4))
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 11))
 def pallas_ptr_fill(mode, use_jump, m_pad, n_pad, interpret,
-                    qs, ts, allow, ns, ms, params):
+                    qs, ts, allow, ns, ms, params, pack=False):
     """Full fill with packed pointer emission. Returns (score (B,), a (B,),
-    b (B,), ptrs (B, m_pad, n_pad) uint8 device-resident). m_pad must be a
-    multiple of SROW=8 (uint8 DMA super-row alignment)."""
-    assert m_pad % SROW == 0
+    b (B,), ptrs uint8 device-resident — (B, m_pad, n_pad), or
+    (B, m_pad/2, n_pad) nibble-packed when ``pack``; decode via
+    engine/device_tb's pack4 path). m_pad must be a multiple of SROW=8
+    (uint8 DMA super-row alignment; 16 when ``pack``). fit+jump cannot
+    pack (6-bit cells)."""
+    assert m_pad % ((2 if pack else 1) * SROW) == 0
+    assert not (pack and use_jump)
     B = qs.shape[0]
-    kern = functools.partial(_ptr_kernel, mode, use_jump, m_pad, n_pad)
+    r_out = m_pad // 2 if pack else m_pad
+    kern = functools.partial(_ptr_kernel, mode, use_jump, pack, m_pad, n_pad)
     grid = (B // TILE_B,)
     score, a, b, ptrs = pl.pallas_call(
         kern,
@@ -333,7 +369,7 @@ def pallas_ptr_fill(mode, use_jump, m_pad, n_pad, interpret,
             jax.ShapeDtypeStruct((B, 1), jnp.float32),
             jax.ShapeDtypeStruct((B, 1), jnp.int32),
             jax.ShapeDtypeStruct((B, 1), jnp.int32),
-            jax.ShapeDtypeStruct((B, m_pad, n_pad), jnp.uint8),
+            jax.ShapeDtypeStruct((B, r_out, n_pad), jnp.uint8),
         ),
         scratch_shapes=[
             pltpu.VMEM((2, TILE_B, SROW, n_pad), jnp.uint8),

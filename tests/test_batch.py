@@ -164,13 +164,16 @@ def test_device_traceback_matches_host(mode):
         assert rows[r] == (want[k].row1, want[k].row2), (mode, k)
 
 
-@pytest.mark.parametrize("mode,use_jump", [
-    ("global", False), ("local", False), ("overlap", False),
-    ("fit", False), ("fit", True),
+@pytest.mark.parametrize("mode,use_jump,pack", [
+    ("global", False, False), ("local", False, False),
+    ("overlap", False, False), ("fit", False, False), ("fit", True, False),
+    ("global", False, True), ("local", False, True),
+    ("overlap", False, True), ("fit", False, True),
 ])
-def test_pallas_ptr_kernel_full_parity(mode, use_jump):
+def test_pallas_ptr_kernel_full_parity(mode, use_jump, pack):
     """Pointer-emitting Pallas kernel + device walk (interpret mode on CPU)
-    vs the XLA full-alignment path: scores AND rows bit-identical."""
+    vs the XLA full-alignment path: scores AND rows bit-identical —
+    including the nibble-packed (two rows per byte) pointer layout."""
     import jax.numpy as jnp
     from aligntools_tpu.engine import device_tb
     from aligntools_tpu.ops.pallas_ptr import pallas_ptr_fill
@@ -203,8 +206,9 @@ def test_pallas_ptr_kernel_full_parity(mode, use_jump):
     params[0, :5] = [p.match, p.mismatch, p.gap_open, p.gap_extend, p.jump]
     args = tuple(jnp.asarray(x) for x in (qs, ts, allow, ns, ms, params))
     score, a, bvec, ptrs = pallas_ptr_fill(
-        mode, use_jump, m_pad, n_pad, True, *args
+        mode, use_jump, m_pad, n_pad, True, *args, pack=pack
     )
+    assert ptrs.shape[1] == (m_pad // 2 if pack else m_pad)
     score, a, bvec = np.asarray(score), np.asarray(a), np.asarray(bvec)
     want = align_batch(mode, pairs, p, sites_list=sites if use_jump else None)
     assert np.array_equal(score.astype(np.float64),
@@ -219,6 +223,6 @@ def test_pallas_ptr_kernel_full_parity(mode, use_jump):
     else:
         starts = [(0, int(ms[k, 0]), int(a[k])) for k in range(B)]
     rows = device_tb.batch_traceback(mode, ptrs, qs, ts, pairs, starts,
-                                     col_base=1)
+                                     col_base=1, pack4=pack)
     for k in range(B):
         assert rows[k] == (want[k].row1, want[k].row2), (mode, k)

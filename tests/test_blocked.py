@@ -63,11 +63,13 @@ def test_blocked_matches_xla(mode, use_jump):
     assert np.array_equal(got, want)
 
 
-@pytest.mark.parametrize("mode,use_jump", [
-    ("global", False), ("local", False), ("fit", True),
-    ("overlap", False),
+@pytest.mark.parametrize("mode,use_jump,pack", [
+    ("global", False, False), ("local", False, False),
+    ("fit", True, False), ("overlap", False, False),
+    ("global", False, True), ("local", False, True),
+    ("fit", False, True), ("overlap", False, True),
 ])
-def test_blocked_ptr_rows(mode, use_jump):
+def test_blocked_ptr_rows(mode, use_jump, pack):
     """Blocked pointer kernel + device walk (interpret): rows bit-identical
     to the XLA full-alignment path across multiple column blocks."""
     import jax.numpy as jnp
@@ -103,8 +105,9 @@ def test_blocked_ptr_rows(mode, use_jump):
     params[0, :5] = [p.match, p.mismatch, p.gap_open, p.gap_extend, p.jump]
     args = tuple(jnp.asarray(x) for x in (qs, ts, allow, ns, ms, params))
     score, a, b, ptrs = blocked_ptr_fill(
-        mode, use_jump, m_pad, n_pad, c_blk, True, *args
+        mode, use_jump, m_pad, n_pad, c_blk, True, *args, pack=pack
     )
+    assert ptrs.shape[1] == (m_pad // 2 if pack else m_pad)
     score, a, b = np.asarray(score), np.asarray(a), np.asarray(b)
     want = align_batch(mode, pairs, p, sites_list=sites if use_jump else None)
     assert np.array_equal(score.astype(np.float64), [w.score for w in want])
@@ -118,6 +121,6 @@ def test_blocked_ptr_rows(mode, use_jump):
         starts = [(0 if int(a[k]) else 1, int(ms[k, 0]), int(b[k]))
                   for k in range(B)]
     rows = device_tb.batch_traceback(mode, ptrs, qs, ts, pairs, starts,
-                                     col_base=1)
+                                     col_base=1, pack4=pack)
     for k in range(B):
         assert rows[k] == (want[k].row1, want[k].row2), (mode, k)

@@ -113,29 +113,68 @@ def main():
     qs, ts, allow, ns, ms = bucket(med, 256, 65536)
     a = tuple(jnp.asarray(x) for x in (qs, ts, allow, ns, ms, params))
     for mode in ("global", "local", "fit", "overlap"):
-        score, av, bv, ptrs = blocked_ptr_fill(
-            mode, False, 256, 65536, 8192, False, *a
-        )
-        score = np.asarray(score).astype(np.float64)
-        av, bv = np.asarray(av), np.asarray(bv)
         want = align_batch(mode, med, p, engine="xla")
-        assert np.array_equal(score, [w.score for w in want]), mode
-        if mode == "global":
-            starts = [(int(av[k]), int(ms[k, 0]), int(ns[k, 0]))
-                      for k in range(8)]
-        elif mode == "local":
-            starts = [(1, int(av[k]), int(bv[k])) for k in range(8)]
-        elif mode == "fit":
-            starts = [(0 if int(av[k]) else 1, int(ms[k, 0]), int(bv[k]))
-                      for k in range(8)]
-        else:  # overlap: bottom-row start at latched column a
-            starts = [(0, int(ms[k, 0]), int(av[k])) for k in range(8)]
-        rows = device_tb.batch_traceback(
-            mode, ptrs, qs, ts, med, starts, col_base=1
-        )
-        for k in range(8):
-            assert rows[k] == (want[k].row1, want[k].row2), (mode, k)
-        print(f"blocked-ptr {mode} @64k rows: OK", flush=True)
+        for pack in (False, True):
+            score, av, bv, ptrs = blocked_ptr_fill(
+                mode, False, 256, 65536, 8192, False, *a, pack=pack
+            )
+            score = np.asarray(score).astype(np.float64)
+            av, bv = np.asarray(av), np.asarray(bv)
+            assert np.array_equal(score, [w.score for w in want]), mode
+            if mode == "global":
+                starts = [(int(av[k]), int(ms[k, 0]), int(ns[k, 0]))
+                          for k in range(8)]
+            elif mode == "local":
+                starts = [(1, int(av[k]), int(bv[k])) for k in range(8)]
+            elif mode == "fit":
+                starts = [(0 if int(av[k]) else 1, int(ms[k, 0]),
+                           int(bv[k])) for k in range(8)]
+            else:  # overlap: bottom-row start at latched column a
+                starts = [(0, int(ms[k, 0]), int(av[k])) for k in range(8)]
+            rows = device_tb.batch_traceback(
+                mode, ptrs, qs, ts, med, starts, col_base=1, pack4=pack
+            )
+            for k in range(8):
+                assert rows[k] == (want[k].row1, want[k].row2), (mode, k)
+            print(f"blocked-ptr {mode} @64k rows"
+                  f"{' (packed)' if pack else ''}: OK", flush=True)
+
+    # 3b. FLAT pointer kernel on hardware, byte and nibble layouts
+    from aligntools_tpu.ops.pallas_ptr import pallas_ptr_fill
+
+    fl = [
+        (bytes(rng.choice(alpha, int(rng.integers(100, 512))).tolist()),
+         bytes(rng.choice(alpha, int(rng.integers(500, 2048))).tolist()))
+        for _ in range(8)
+    ]
+    qs, ts, allow, ns, ms = bucket(fl, 512, 2048)
+    a = tuple(jnp.asarray(x) for x in (qs, ts, allow, ns, ms, params))
+    for mode in ("global", "local", "fit", "overlap"):
+        want = align_batch(mode, fl, p, engine="xla")
+        for pack in (False, True):
+            score, av, bv, ptrs = pallas_ptr_fill(
+                mode, False, 512, 2048, False, *a, pack=pack
+            )
+            score = np.asarray(score).astype(np.float64)
+            av, bv = np.asarray(av), np.asarray(bv)
+            assert np.array_equal(score, [w.score for w in want]), mode
+            if mode == "global":
+                starts = [(int(av[k]), int(ms[k, 0]), int(ns[k, 0]))
+                          for k in range(8)]
+            elif mode == "local":
+                starts = [(1, int(av[k]), int(bv[k])) for k in range(8)]
+            elif mode == "fit":
+                starts = [(0 if int(av[k]) else 1, int(ms[k, 0]),
+                           int(bv[k])) for k in range(8)]
+            else:
+                starts = [(0, int(ms[k, 0]), int(av[k])) for k in range(8)]
+            rows = device_tb.batch_traceback(
+                mode, ptrs, qs, ts, fl, starts, col_base=1, pack4=pack
+            )
+            for k in range(8):
+                assert rows[k] == (want[k].row1, want[k].row2), (mode, k)
+            print(f"flat-ptr {mode}"
+                  f"{' (packed)' if pack else ''}: OK", flush=True)
 
     # 4. blocked pointer kernel for OVERLAP at 131k columns + device walk
     # (trace_back_overlap, alignment.h:896-922; long-target full rows)
