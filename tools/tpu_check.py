@@ -200,6 +200,44 @@ def main():
         assert rows[k] == (want[k].row1, want[k].row2), ("overlap@131k", k)
     print("blocked-ptr overlap @131k rows: OK", flush=True)
 
+    # 5. checkpoint-rescan full rows at ONE MILLION columns (VERDICT #5's
+    # scaling target: ~10x past the single-tensor pointer capacity for
+    # this shape class). No oracle fits this size, so validate by
+    # (a) score parity with the independent blocked Pallas fill and
+    # (b) re-scoring the emitted rows against fit affine-gap semantics
+    # (alignment.h:596-694: gap run of k costs o + (k-1)e).
+    from aligntools_tpu.engine.rescan import rescan_align
+
+    n1m = 1_000_000
+    tbig = rng.choice(alpha, n1m)
+    qv = tbig[600_000:600_512].copy()
+    mut = rng.random(512) < 0.05
+    qv[mut] = rng.choice(alpha, int(mut.sum()))
+    qb, tb = bytes(qv.tolist()), bytes(tbig.tolist())
+    res = rescan_align("fit", qb, tb, p, stride=128)
+    got = res.score
+    qs, ts, allow, ns, ms = bucket([(qb, tb)] * 8, 512, 1 << 20)
+    a = tuple(jnp.asarray(x) for x in (qs, ts, allow, ns, ms, params))
+    bs = np.asarray(
+        blocked_scores("fit", False, 512, 1 << 20, 8192, False, *a)
+    )
+    assert float(bs[0]) == got, ("rescan@1M score", bs[0], got)
+    assert res.row1.replace(b"-", b"") == qb
+    assert res.row2.replace(b"-", b"") in tb
+    walked = 0.0
+    run = None
+    for c1, c2 in zip(res.row1, res.row2):
+        g = ord("-")
+        if c1 != g and c2 != g:
+            walked += p.match if c1 == c2 else p.mismatch
+            run = None
+        else:
+            which = "L" if c2 == g else "U"
+            walked += p.gap_extend if run == which else p.gap_open
+            run = which
+    assert walked == got, ("rescan@1M rescore", walked, got)
+    print(f"rescan fit @1M columns: OK (score {got})", flush=True)
+
     print("TPU CHECK PASSED", flush=True)
 
 
