@@ -254,6 +254,17 @@ def main(argv: list[str] | None = None) -> int:
         from aligntools_tpu.serve import serve
 
         return serve()
+    if len(argv) >= 2 and argv[1] == "calibrate":
+        # one-time engine-crossover measurement on the attached device;
+        # cached per device kind next to the compile cache
+        from aligntools_tpu.engine.autotune import calibrate
+
+        try:
+            calibrate(force="--force" in argv[2:])
+        except RuntimeError as err:
+            sys.stderr.write(f"FATAL ERROR: {err}\n")
+            return 255
+        return 0
     if len(argv) >= 2 and argv[1] == "batch":
         # batch is the only surface that targets the device by default
         # (keeps the container's JAX_PLATFORMS, i.e. the TPU when present);

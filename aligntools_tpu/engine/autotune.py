@@ -1,0 +1,191 @@
+"""Measured engine-crossover calibration, cached per device kind.
+
+engine/select.py routes each shape bucket between the XLA lax.scan
+engine and the Pallas VMEM kernels. The regime boundary — XLA wins iff
+``batch >= bmin`` and ``n_pad <= nmax`` (its fused-carry window; outside
+it the carries spill to HBM and throughput collapses 10-40x) — was
+round-1 hardcoded from v5e measurements. This module measures it ON THE
+CURRENT DEVICE and caches the result as JSON next to the persistent
+XLA compile cache, so routing on any other TPU generation comes from
+measurement, not another chip's literals.
+
+Protocol (``aligntools calibrate`` or :func:`calibrate`):
+  * ``bmin``: at a moderate row width (n_pad 2048), time both engines at
+    batch 32/64/128/256 and take the smallest batch where XLA wins.
+  * ``nmax``: at the deepest batch that won above, time both engines at
+    n_pad 2048/4096/8192 and take the largest width where XLA still
+    wins.
+Timing uses the same amortized on-device chaining as benchmarks/suite.py
+(K fills with a serial data dependency; difference two K values) so the
+30-90 ms per-call tunnel latency cancels. Total runtime is dominated by
+the one losing-engine fill at the widest probe (~10-20 s worst case).
+
+The cache never invalidates implicitly — recalibrate with ``--force``
+after a libtpu/toolchain change. select.py falls back to the v5e
+literals (bmin=128, nmax=4096) when no cache entry exists.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import time
+
+CACHE_ENV = "ALIGNTOOLS_JAX_CACHE"
+_DEFAULTS = {"bmin": 128, "nmax": 4096}
+_loaded: dict | None = None
+
+
+def _cache_path() -> str:
+    base = os.environ.get(
+        CACHE_ENV, os.path.expanduser("~/.cache/aligntools-jax")
+    )
+    import jax
+
+    kind = jax.devices()[0].device_kind
+    slug = re.sub(r"[^A-Za-z0-9._-]+", "_", kind)
+    return os.path.join(base, f"autotune_{slug}.json")
+
+
+def table() -> dict:
+    """The active crossover table: cached measurement if present for this
+    device kind, else the v5e defaults."""
+    global _loaded
+    if _loaded is None:
+        try:
+            with open(_cache_path()) as f:
+                _loaded = {**_DEFAULTS, **json.load(f)}
+        except Exception:
+            _loaded = dict(_DEFAULTS)
+    return _loaded
+
+
+def _amortized(run_k, k1=1, k2=3, reps=2):
+    """Best-of-``reps`` amortized per-fill seconds. The per-call tunnel
+    jitter here is +-30-90 ms, the same order as a small fill — best-of
+    on BOTH ends keeps the difference from going negative/noisy."""
+    import numpy as np
+
+    def timed(k):
+        np.asarray(run_k(k))  # warm/compile
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            np.asarray(run_k(k))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    return max((timed(k2) - timed(k1)) / (k2 - k1), 1e-9)
+
+
+def _bench_pair(batch, n_pad):
+    """Amortized seconds per fill for (xla, pallas) at batch x n_pad^2,
+    local mode score-only (the routing proxy used since round 1)."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from aligntools_tpu.engine import scan as _scan
+    from aligntools_tpu.engine.select import flat_tile_b
+    from aligntools_tpu.ops import pallas_scan as pk
+
+    rng = np.random.default_rng(7)
+    alpha = np.frombuffer(b"ACGT", dtype=np.uint8)
+    qs = rng.choice(alpha, (batch, n_pad)).astype(np.int32)
+    ts = jnp.asarray(rng.choice(alpha, (batch, n_pad)).astype(np.int32))
+    ns = jnp.asarray(np.full(batch, n_pad, np.int32))
+    ps = np.zeros((batch, 6), np.float32)
+    ps[:, :4] = [1, -2, -5, -1]
+    ps = jnp.asarray(ps)
+    ns2 = jnp.asarray(np.full((batch, 1), n_pad, np.int32))
+    pm = np.zeros((1, 8), np.float32)
+    pm[0, :5] = [1, -2, -5, -1, -10]
+    pm = jnp.asarray(pm)
+    tile = flat_tile_b(batch, n_pad)
+
+    def one_xla(q):
+        return jax.vmap(
+            lambda qq, tt, nn, pp: _scan.local_fill(
+                qq, tt, nn, pp, n_pad, False
+            )[0]
+        )(q, ts, ns, ps)
+
+    def one_pl(q):
+        return pk.pallas_scores(
+            "local", n_pad, n_pad, False, q, ts, ns2, ns2, pm, tile_b=tile
+        )
+
+    out = []
+    for one in (one_xla, one_pl):
+        @functools.partial(jax.jit, static_argnums=(0,))
+        def run_k(K, q, _one=one):
+            def body(_, carry):
+                acc, qq = carry
+                sc = _one(qq)
+                sc = sc.reshape(-1)[: qq.shape[0]]
+                return acc + sc, qq + (sc * 0).astype(qq.dtype)[:, None]
+
+            acc, _ = jax.lax.fori_loop(
+                0, K, body, (jnp.zeros(q.shape[0]), q)
+            )
+            return acc
+
+        q = jnp.asarray(qs)
+        out.append(_amortized(lambda K: run_k(K, q)))
+    return out[0], out[1]
+
+
+def calibrate(force: bool = False, log=print) -> dict:
+    """Measure the crossover table on the current device and cache it.
+    Returns the table. No-op (returns the cached table) unless ``force``
+    or no cache entry exists."""
+    global _loaded
+    import jax
+
+    path = _cache_path()
+    if not force and os.path.exists(path):
+        _loaded = None
+        return table()
+    if jax.default_backend() != "tpu":
+        raise RuntimeError(
+            "calibrate must run on the TPU backend (routing on CPU is "
+            "interpret-only and never uses these thresholds)"
+        )
+    result = {
+        "device_kind": jax.devices()[0].device_kind,
+        "measured": {},
+    }
+    # 1. batch threshold at n_pad 2048
+    bmin = None
+    for batch in (32, 64, 128, 256):
+        tx, tp = _bench_pair(batch, 2048)
+        result["measured"][f"b{batch}_n2048"] = {"xla": tx, "pallas": tp}
+        log(f"  batch {batch:4d} x 2048^2: xla {tx*1e3:8.2f} ms  "
+            f"pallas {tp*1e3:8.2f} ms")
+        if tx < tp and bmin is None:
+            bmin = batch
+    bmin = bmin if bmin is not None else 1 << 30  # XLA never wins
+    # 2. n ceiling at the deepest probed batch
+    nmax = 0
+    if bmin < 1 << 30:
+        for n_pad in (2048, 4096, 8192):
+            tx, tp = _bench_pair(256, n_pad)
+            result["measured"][f"b256_n{n_pad}"] = {"xla": tx, "pallas": tp}
+            log(f"  batch  256 x {n_pad}^2: xla {tx*1e3:8.2f} ms  "
+                f"pallas {tp*1e3:8.2f} ms")
+            if tx < tp:
+                nmax = n_pad
+    result["bmin"] = int(bmin)
+    result["nmax"] = int(nmax)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(result, f, indent=1)
+    os.replace(tmp, path)
+    _loaded = None
+    log(f"calibrated {result['device_kind']}: XLA engine wins iff "
+        f"batch >= {result['bmin']} and n_pad <= {result['nmax']} -> {path}")
+    return table()

@@ -58,12 +58,20 @@ def flat_tile_b(batch: int, n_pad: int) -> int:
 
 
 def use_pallas(batch: int, m_pad: int, n_pad: int, mode: str = "local") -> bool:
-    """True if a Pallas kernel is the faster engine for this bucket."""
+    """True if a Pallas kernel is the faster engine for this bucket.
+
+    The XLA-wins window (batch >= bmin and n_pad <= nmax) comes from the
+    per-device-kind calibration cache when one exists (``aligntools
+    calibrate``; engine/autotune.py) and falls back to the v5e
+    measurements above (bmin=128, nmax=4096) otherwise."""
     if jax.default_backend() != "tpu":
         return False  # interpret-mode Pallas is only for tests
     if n_pad > PALLAS_FLAT_MAX_N_PAD and not use_blocked(mode, n_pad):
         return False  # overlap/edit beyond the flat kernel: XLA engine
-    return not (batch >= 128 and n_pad <= 4096)
+    from aligntools_tpu.engine.autotune import table
+
+    t = table()
+    return not (batch >= t["bmin"] and n_pad <= t["nmax"])
 
 
 def use_blocked(mode: str, n_pad: int) -> bool:

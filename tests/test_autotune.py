@@ -1,0 +1,69 @@
+"""Engine-crossover calibration cache (engine/autotune.py).
+
+The measurement itself needs the TPU backend (covered by running
+``aligntools calibrate`` on hardware); these tests cover the cache /
+fallback plumbing that routing depends on.
+"""
+
+import json
+import os
+
+import numpy as np
+
+from aligntools_tpu.engine import autotune
+
+
+def _reset():
+    autotune._loaded = None
+
+
+def test_defaults_without_cache(tmp_path, monkeypatch):
+    monkeypatch.setenv(autotune.CACHE_ENV, str(tmp_path))
+    _reset()
+    t = autotune.table()
+    assert t["bmin"] == 128 and t["nmax"] == 4096
+    _reset()
+
+
+def test_cached_table_overrides(tmp_path, monkeypatch):
+    monkeypatch.setenv(autotune.CACHE_ENV, str(tmp_path))
+    _reset()
+    with open(autotune._cache_path(), "w") as f:
+        json.dump({"bmin": 64, "nmax": 8192, "device_kind": "x"}, f)
+    t = autotune.table()
+    assert t["bmin"] == 64 and t["nmax"] == 8192
+    _reset()
+
+
+def test_corrupt_cache_falls_back(tmp_path, monkeypatch):
+    monkeypatch.setenv(autotune.CACHE_ENV, str(tmp_path))
+    _reset()
+    with open(autotune._cache_path(), "w") as f:
+        f.write("{not json")
+    t = autotune.table()
+    assert t == autotune._DEFAULTS | {}
+    _reset()
+
+
+def test_calibrate_requires_tpu(tmp_path, monkeypatch):
+    import pytest
+
+    monkeypatch.setenv(autotune.CACHE_ENV, str(tmp_path))
+    _reset()
+    with pytest.raises(RuntimeError):
+        autotune.calibrate(force=True)
+    _reset()
+
+
+def test_table_values_drive_routing(tmp_path, monkeypatch):
+    """use_pallas consults the cached table on the TPU backend; on CPU it
+    is always False, so exercise the table read directly."""
+    monkeypatch.setenv(autotune.CACHE_ENV, str(tmp_path))
+    _reset()
+    with open(autotune._cache_path(), "w") as f:
+        json.dump({"bmin": 32, "nmax": 1024}, f)
+    t = autotune.table()
+    # the decision rule select.use_pallas applies on TPU:
+    assert not (64 >= t["bmin"] and 2048 <= t["nmax"])  # pallas wins
+    assert 64 >= t["bmin"] and 1024 <= t["nmax"]  # xla wins
+    _reset()
