@@ -2,9 +2,12 @@
 
 This is the throughput path the reference has no analog of (it processes one
 pair per process invocation, alignment.h:503-510): thousands of pairs are
-encoded int32, grouped into (m_bucket, n_bucket) shape buckets (powers of
-two, floored at the TPU tile quanta) so each bucket compiles once, vmapped
-over the batch dimension, and executed as one device program per bucket.
+encoded int32, grouped into (m_bucket, n_bucket) shape buckets on a
+quarter-octave quantum ladder (worst-case padding 1.25x per dim vs 2x for
+pure powers of two; hardware-aligned rungs; coarsened toward powers of
+two whenever a workload would exceed MAX_BUCKETS distinct shapes) so
+each bucket compiles once, is vmapped over the batch dimension, and
+executes as one device program per bucket.
 Padding is mask-correct by construction: DP values flow only rightward/
 downward so padded rows/columns never feed real cells, and every per-mode
 extraction (final-cell gather, running argmax, bottom-row scans) masks to
@@ -37,11 +40,31 @@ from aligntools_tpu.params import AlignParams
 from aligntools_tpu.spec.engine import AlignResult
 
 
-def bucket_len(x: int, floor: int) -> int:
-    """Next power of two >= x, floored at the tile quantum."""
+def bucket_len(x: int, floor: int, steps: int = 1) -> int:
+    """Smallest bucket quantum >= x, floored at the tile quantum.
+
+    ``steps`` per octave: 1 gives the round-1 powers of two (worst-case
+    2x padding per dim); 4 gives the quarter-octave ladder p, 1.25p,
+    1.5p, 1.75p (worst-case 1.25x), snapped to hardware quanta — every
+    rung is a multiple of ``floor``/4 >= 16 so m stays DMA/pack aligned
+    (%16) and n stays lane aligned when floor is 128. Above the flat-
+    kernel ceiling, rungs snap up to BLOCKED_C_BLK multiples (the
+    column-streamed kernel requires n_pad % c_blk == 0).
+    """
     b = floor
     while b < x:
         b *= 2
+    if steps > 1 and b > floor:
+        p = b // 2  # x is in (p, 2p]
+        align = 16 if floor <= 64 else 128
+        for k in range(1, steps):
+            rung = -(-(p + (p * k) // steps) // align) * align
+            if x <= rung < b:
+                b = rung
+                break
+    if b > _select.PALLAS_FLAT_MAX_N_PAD:
+        c = _select.BLOCKED_C_BLK
+        b = -(-b // c) * c
     return b
 
 
@@ -57,10 +80,61 @@ class _Bucket:
     allowed: np.ndarray | None = None  # [B, n_pad] bool (fit -s)
 
 
+MAX_BUCKETS = 16  # total-shape budget the ladder may grow a workload to
+
+
+def _bucket_keys(pairs, m_floor, n_floor, max_buckets=MAX_BUCKETS):
+    """Per-pair (m_pad, n_pad) shape keys: powers of two refined by the
+    quantum ladder under an explicit compile budget.
+
+    Start from the round-1 pow2 partition (the compile-count baseline),
+    then split individual pow2 buckets into finer rungs — each split is
+    scored by padded cells saved per extra compiled shape, and splits
+    are taken greedily while the total shape count stays within
+    ``max(max_buckets, pow2 count)``. Real workloads cluster by length
+    (read-length distributions are narrow), so the few buckets holding
+    the mass split first: a cluster at n=3000 pads to 3072, not 4096.
+    A full log-uniform length spray already spends the budget on its
+    pow2 partition and degrades to exactly the round-1 behavior."""
+    pow2 = [
+        (bucket_len(len(q), m_floor, 1), bucket_len(len(t), n_floor, 1))
+        for q, t in pairs
+    ]
+    groups: dict[tuple, list[int]] = {}
+    for i, key in enumerate(pow2):
+        groups.setdefault(key, []).append(i)
+    budget = max(max_buckets, len(groups)) - len(groups)
+    if budget <= 0:
+        return pow2
+    cands = []  # (saved_per_extra, extra, pow2_key, {idx: fine_key})
+    for key, idxs in groups.items():
+        base = key[0] * key[1]
+        for steps in (4, 2):
+            fine = {
+                i: (bucket_len(len(pairs[i][0]), m_floor, steps),
+                    bucket_len(len(pairs[i][1]), n_floor, steps))
+                for i in idxs
+            }
+            extra = len(set(fine.values())) - 1
+            saved = sum(base - mk * nk for mk, nk in fine.values())
+            if saved > 0:
+                cands.append((saved / (extra + 1), extra, key, fine))
+    cands.sort(key=lambda c: -c[0])
+    out = list(pow2)
+    done = set()
+    for _, extra, key, fine in cands:
+        if key in done or extra > budget:
+            continue
+        done.add(key)
+        budget -= extra
+        for i, fk in fine.items():
+            out[i] = fk
+    return out
+
+
 def _bucketize(pairs, sites_list, m_floor=64, n_floor=128):
     buckets: dict[tuple[int, int], _Bucket] = {}
-    for k, (q, t) in enumerate(pairs):
-        key = (bucket_len(len(q), m_floor), bucket_len(len(t), n_floor))
+    for k, key in enumerate(_bucket_keys(pairs, m_floor, n_floor)):
         b = buckets.get(key)
         if b is None:
             b = buckets[key] = _Bucket(key[0], key[1], [], None, None, None, None)

@@ -167,6 +167,12 @@ def run_pipeline(
                     )
                 counters.pairs += 1
                 counters.cells += len(pairs[k][0]) * len(pairs[k][1])
+            if band is None:  # banded work is O(m*W), not bucket-padded
+                from aligntools_tpu.batch import _bucket_keys
+
+                counters.padded_cells += sum(
+                    mp * np_ for mp, np_ in _bucket_keys(pairs, 64, 128)
+                )
             text = "\n".join(lines) + "\n"
             out.write(text.encode("latin-1") if own_out else text)
             if hasattr(out, "flush"):

@@ -141,11 +141,29 @@ def main():
         bytes(rng.choice(alpha, m_pad).tolist()),
         bytes(rng.choice(alpha, n_pad).tolist()),
     )
+    # bucketing pad efficiency on a mixed-length synthetic workload
+    # (length-clustered like real read sets: m ~ 300 +- 20%, n ~ 3000
+    # +- 25%): true cells / padded cells under the quarter-octave
+    # ladder, with the round-1 pow2 ratio alongside
+    from aligntools_tpu.batch import _bucket_keys, bucket_len
+
+    wms = np.exp(rng.normal(np.log(300), 0.2, 512)).astype(int)
+    wns = np.exp(rng.normal(np.log(3000), 0.25, 512)).astype(int)
+    wl = [(b"A" * int(a), b"A" * int(bb)) for a, bb in zip(wms, wns)]
+    true_cells = sum(len(q) * len(t) for q, t in wl)
+    pad_fine = sum(mp * np_ for mp, np_ in _bucket_keys(wl, 64, 128))
+    pad_pow2 = sum(
+        bucket_len(len(q), 64, 1) * bucket_len(len(t), 128, 1)
+        for q, t in wl
+    )
+
     out = {
         "metric": "sw_affine_gcups",
         "value": round(gcups, 2),
         "unit": "GCUPS",
         "vs_baseline": round(gcups / ref_gcups, 1) if ref_gcups else None,
+        "pad_efficiency": round(true_cells / pad_fine, 3),
+        "pad_efficiency_pow2": round(true_cells / pad_pow2, 3),
         "pairs_per_sec": round(pairs_per_sec, 1),
         "batch": B,
         "shape": [m_pad, n_pad],

@@ -226,3 +226,80 @@ def test_pallas_ptr_kernel_full_parity(mode, use_jump, pack):
                                      col_base=1, pack4=pack)
     for k in range(B):
         assert rows[k] == (want[k].row1, want[k].row2), (mode, k)
+
+
+def test_bucket_ladder_properties():
+    """Quarter-octave rungs: >= x, hardware-aligned, monotone, and at
+    most 1.25x overhead per dim past the floor (modulo alignment)."""
+    from aligntools_tpu.batch import bucket_len
+
+    for floor, align in ((64, 16), (128, 128)):
+        prev = 0
+        for x in range(1, 40000, 7):
+            b = bucket_len(x, floor, steps=4)
+            assert b >= x and b >= floor
+            assert b % align == 0
+            assert b >= prev or x < prev  # monotone in x
+            if b > 32768:
+                assert b % 8192 == 0  # blocked-kernel alignment
+            elif x > floor:
+                assert b <= max(
+                    -(-int(x * 1.25) // align) * align, floor
+                ), (x, b)
+            prev = b
+        # steps=1 reproduces round-1 powers of two
+        assert bucket_len(1000, 128, steps=1) == 1024
+        assert bucket_len(1025, 128, steps=1) == 2048
+
+
+def test_bucket_pad_reduction_and_compile_cap():
+    """VERDICT #10 'done': >= 15% padded-cell reduction on a mixed-length
+    workload at equal-or-fewer compile counts (plus the absolute floor).
+    Clustered lengths (realistic read-length distributions) take the
+    fine ladder; a full log-uniform length spray must degrade to pow2
+    rather than blow up the bucket count."""
+    from aligntools_tpu.batch import MAX_BUCKETS, _bucket_keys, bucket_len
+
+    rng = np.random.default_rng(11)
+
+    def cells(keys):
+        return sum(mp * np_ for mp, np_ in keys)
+
+    # clustered: m ~ 300 +- 20%, n ~ 3000 +- 25%
+    ms = np.exp(rng.normal(np.log(300), 0.2, 512)).astype(int)
+    ns = np.exp(rng.normal(np.log(3000), 0.25, 512)).astype(int)
+    wl = [(b"A" * m, b"A" * n) for m, n in zip(ms, ns)]
+    fine = _bucket_keys(wl, 64, 128)
+    pow2 = [(bucket_len(len(q), 64, 1), bucket_len(len(t), 128, 1))
+            for q, t in wl]
+    assert len(set(fine)) <= max(MAX_BUCKETS, len(set(pow2)))
+    assert cells(fine) < 0.85 * cells(pow2), (cells(fine), cells(pow2))
+    # spray: ladder would multiply buckets 6x -> must fall back to pow2
+    lens = np.exp(rng.uniform(np.log(100), np.log(8000), (512, 2)))
+    spray = [(b"A" * int(a), b"A" * int(b)) for a, b in lens]
+    keys = _bucket_keys(spray, 64, 128)
+    pow2s = [(bucket_len(len(q), 64, 1), bucket_len(len(t), 128, 1))
+             for q, t in spray]
+    assert len(set(keys)) <= len(set(pow2s))
+
+
+@pytest.mark.parametrize("mode", ["global", "local", "overlap", "fit"])
+def test_ladder_bucket_padding_invariance(mode):
+    """Pairs landing in non-pow2 rungs (e.g. 80x384) score and trace
+    identically to the same pairs padded alone."""
+    rng = np.random.default_rng(13)
+    p = AlignParams(match=2, mismatch=-3, gap_open=-4, gap_extend=-1)
+    pairs = []
+    for _ in range(12):
+        m = int(rng.integers(66, 79))   # rung 80
+        n = int(rng.integers(260, 380))  # rung 384
+        if mode == "fit":
+            n = max(n, m)
+        pairs.append((bytes(rng.choice(list(ALPHA), m).tolist()),
+                      bytes(rng.choice(list(ALPHA), n).tolist())))
+    got = align_batch(mode, pairs, p)
+    fn = getattr(spec, f"spec_{mode}")
+    for k, (q, t) in enumerate(pairs):
+        want = fn(q, t, p)
+        assert got[k].score == want.score, (mode, k)
+        assert (got[k].row1, got[k].row2) == (want.row1, want.row2), (mode, k)
