@@ -39,10 +39,21 @@ def init_multihost(timeout_s: int = 300) -> None:
     """
     import os
 
-    if os.environ.get("JAX_COORDINATOR_ADDRESS") is None:
+    addr = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if addr is None:
         return  # single host
+    # jax's auto-detection covers cluster schedulers (SLURM etc.) but not
+    # plain env launches: pass the triplet explicitly when provided
+    kwargs = {}
+    if os.environ.get("JAX_NUM_PROCESSES"):
+        kwargs = dict(
+            coordinator_address=addr,
+            num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
+            process_id=int(os.environ.get("JAX_PROCESS_ID", "0")),
+        )
     jax.distributed.initialize(
         initialization_timeout=timeout_s,
+        **kwargs,
     )
     barrier("aligntools-init")
 

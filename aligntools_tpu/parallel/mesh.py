@@ -113,8 +113,15 @@ def batch_scores_sharded(
     )
     pmat[:, 5] = ms
     shard = NamedSharding(mesh, P("data"))
+    # every process builds the same global host arrays (each host reads
+    # the same input), so the per-shard callback just slices — this is
+    # the multi-process-correct construction (device_put with a global
+    # array only works single-process) and identical on one process
     args = [
-        jax.device_put(jnp.asarray(a), shard) for a in (q, t, ns, pmat)
+        jax.make_array_from_callback(
+            a.shape, shard, lambda idx, a=a: a[idx]
+        )
+        for a in (q, t, ns, pmat)
     ]
     scores, _ = _sharded_fill(mode, n_pad, mesh, *args)
     out = np.asarray(scores)[:B]
