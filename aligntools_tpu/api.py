@@ -5,11 +5,16 @@
 Engine selection:
 
   * ``"scan"``  — JAX row-scan engine (engine/scan.py): jitted, runs on
-    TPU or CPU; the default.
+    TPU or CPU.
   * ``"spec"``  — NumPy oracle (spec/engine.py): host-only reference
-    semantics, used for differential testing.
-  * ``"auto"``  — currently "scan"; will prefer the Pallas kernels on TPU
-    once the pointer-emitting kernel path covers all modes.
+    semantics, also used for differential testing.
+  * ``"auto"``  — scan on an accelerator backend; spec on CPU. A single
+    pair on CPU is jit-dominated: cold CLI measured 0.95 s (scan,
+    compile included) vs 0.13 s (spec) at 500x2000, and the reference's
+    own fit stress fixture (384x33792) is ~60x faster through spec than
+    a cold scan compile. Warm they are equal (~0.11 s), so the batched
+    paths keep the jitted engines. Out-of-f32-range (params x length)
+    combinations route to spec on every backend (exactness).
 """
 
 from __future__ import annotations
@@ -40,12 +45,18 @@ def align_pair(
     if sites is not None and mode != "fit":
         raise ValueError("junction sites are only meaningful in fit mode")
     if engine == "auto":
+        import jax
+
         from aligntools_tpu.engine.scan import f32_exact
 
         # The device engine is f32; out-of-range (params x length)
         # combinations would lose integer exactness, so auto routes them
-        # to the double-precision spec oracle (ADVICE r1).
-        if not f32_exact(params, len(seq1), len(seq2), mode):
+        # to the double-precision spec oracle (ADVICE r1). On the CPU
+        # backend a lone pair is compile-dominated — spec wins cold by
+        # 7-60x and ties warm (module docstring).
+        if jax.default_backend() == "cpu" or not f32_exact(
+            params, len(seq1), len(seq2), mode
+        ):
             engine = "spec"
     if engine in ("auto", "scan"):
         from aligntools_tpu.engine.scan import scan_align
