@@ -267,19 +267,27 @@ def _pallas_bucket_full(mode, b, params, use_jump, pairs, results):
 
     args, B, qs_np, ts_np = _kernel_arrays(b, params)
     jump = use_jump and mode == "fit"
-    # nibble-pack pointers whenever the mode allows (everything but
-    # fit+jump): halves pointer HBM, doubling full-alignment capacity
-    pack = not jump and b.m_pad % 16 == 0
+    # pack pointers as tightly as the mode allows: overlap cells are 2
+    # bits (4 rows/byte), everything else but fit+jump fits a nibble
+    # (2 rows/byte) — 2-4x full-alignment capacity before HBM pressure
+    if jump:
+        pack = 1
+    elif mode == "overlap" and b.m_pad % 32 == 0:
+        pack = 4
+    elif b.m_pad % 16 == 0:
+        pack = 2
+    else:
+        pack = 1
     if _select.use_blocked(mode, b.n_pad):
         from aligntools_tpu.ops.pallas_blocked import blocked_ptr_fill
 
         score, a, bb, ptrs = blocked_ptr_fill(
             mode, jump, b.m_pad, b.n_pad,
-            _select.BLOCKED_C_BLK, False, *args, pack=pack
+            _select.BLOCKED_C_BLK, False, *args, rows_per_byte=pack
         )
     else:
         score, a, bb, ptrs = pp.pallas_ptr_fill(
-            mode, jump, b.m_pad, b.n_pad, False, *args, pack=pack
+            mode, jump, b.m_pad, b.n_pad, False, *args, rows_per_byte=pack
         )
     score = np.asarray(score)[:B]
     a = np.asarray(a)[:B]

@@ -45,11 +45,12 @@ def _walk_affine(stop_at_j0, n_steps, col_base, pack4, code3_home,
 
     ptrs (B, R, C) uint8; qs (B, m_pad) i32; ts (B, n_pad) i32;
     state0/i0/j0 (B,) i32. stop_at_j0: True for global/local (while i>0 and
-    j>0), False for fit (while i>0). ``pack4``: nibble layout — two DP
-    rows per byte, pM 2 bits with code 3 meaning HOME when ``code3_home``
-    (local) else unset/ERR (global/fit), pL/pU at bits 2/3, no jump state
-    (ops/pallas_ptr.py docstring). Returns stacked (n_steps, B) char
-    columns (walk order), per-pair emitted length, final (i, j), err flag.
+    j>0), False for fit (while i>0). ``pack4``: nibble layout
+    (rows_per_byte=2) — two DP rows per byte, pM 2 bits with code 3
+    meaning HOME when ``code3_home`` (local) else unset/ERR (global/fit),
+    pL/pU at bits 2/3, no jump state (ops/pallas_ptr.py docstring).
+    Returns stacked (n_steps, B) char columns (walk order), per-pair
+    emitted length, final (i, j), err flag.
     """
     B = ptrs.shape[0]
     bidx = jnp.arange(B)
@@ -124,16 +125,17 @@ def _walk_affine(stop_at_j0, n_steps, col_base, pack4, code3_home,
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
-def _walk_overlap(n_steps, col_base, pause_at_i0, pack4, ptrs, qs, ts,
+def _walk_overlap(n_steps, col_base, pause_at_i0, rpb, ptrs, qs, ts,
                   i0, j0):
     """Batched overlap walk (while j>0; 2-bit codes move directly).
 
     ``pause_at_i0``: True for the block-resumable rescan walk — at i == 0
     the walk simply stops emitting (the caller resumes in the row block
     above) instead of flagging the reference's i<=0 UB as an error.
-    ``pack4``: two DP rows per byte (row 2k low nibble)."""
+    ``rpb``: DP rows per byte (1, 2, or 4; row rpb*k in the low bits)."""
     B = ptrs.shape[0]
     bidx = jnp.arange(B)
+    bits = 8 // rpb
 
     def step(carry, _):
         i, j, done, count, err = carry
@@ -141,9 +143,9 @@ def _walk_overlap(n_steps, col_base, pause_at_i0, pack4, ptrs, qs, ts,
         if pause_at_i0:
             active = active & (i > 0)
         row = jnp.maximum(i - 1, 0)
-        if pack4:
-            byte = ptrs[bidx, row >> 1, jnp.maximum(j - col_base, 0)]
-            byte = jnp.where(row & 1, byte >> 4, byte)
+        if rpb > 1:
+            byte = ptrs[bidx, row // rpb, jnp.maximum(j - col_base, 0)]
+            byte = byte.astype(jnp.int32) >> ((row % rpb) * bits)
         else:
             byte = ptrs[bidx, row, jnp.maximum(j - col_base, 0)]
         code = (byte & 0x3).astype(jnp.int32)
@@ -181,9 +183,19 @@ def batch_traceback(mode, ptrs_dev, qs_np, ts_np, pairs, starts,
     (state0, i0, j0) ints (state encoding of _walk_affine, ignored for
     overlap). ``col_base``: 0 when the pointer tensor includes column 0
     (XLA engine), 1 when it starts at column 1 (Pallas ptr kernel).
-    ``pack4``: nibble-packed pointer tensor (R = m_pad/2; pallas_ptr.py
-    ``pack=True`` layout). Returns [(row1, row2)] per pair.
+    ``pack4``: packed pointer tensor — truthy means rows_per_byte=2
+    (nibble layout); the int 4 selects the 2-bit overlap layout
+    (rows_per_byte=4; pallas_ptr.py docstring). Returns [(row1, row2)]
+    per pair.
     """
+    # pack4 accepts the legacy bool (True = nibble) or rows_per_byte ints
+    if pack4 is True:
+        rpb = 2
+    elif not pack4:
+        rpb = 1
+    else:
+        rpb = int(pack4)
+        assert rpb in (1, 2, 4)
     B = ptrs_dev.shape[0]
     n_steps = int(qs_np.shape[1] + ts_np.shape[1] + 1)
     qs_d = jnp.asarray(qs_np)
@@ -192,7 +204,7 @@ def batch_traceback(mode, ptrs_dev, qs_np, ts_np, pairs, starts,
         i0 = jnp.asarray([s[1] for s in starts], jnp.int32)
         j0 = jnp.asarray([s[2] for s in starts], jnp.int32)
         cols1, cols2, count, _, _, _, err = _walk_overlap(
-            n_steps, col_base, False, pack4, ptrs_dev, qs_d, ts_d, i0, j0
+            n_steps, col_base, False, rpb, ptrs_dev, qs_d, ts_d, i0, j0
         )
         fi = fj = None
     else:
@@ -200,7 +212,7 @@ def batch_traceback(mode, ptrs_dev, qs_np, ts_np, pairs, starts,
         i0 = jnp.asarray([s[1] for s in starts], jnp.int32)
         j0 = jnp.asarray([s[2] for s in starts], jnp.int32)
         cols1, cols2, count, fi, fj, _, err = _walk_affine(
-            mode != "fit", n_steps, col_base, pack4, mode == "local",
+            mode != "fit", n_steps, col_base, rpb == 2, mode == "local",
             ptrs_dev, qs_d, ts_d, state0, i0, j0,
         )
     # pack device-side so the tunnel sees ONE bulk transfer for the char

@@ -185,7 +185,7 @@ def rescan_align(mode, q: bytes, t: bytes, p, sites=None, stride: int = 256):
         while True:
             if mode == "overlap":
                 c1, c2, cnt, fi, fj, done, werr = device_tb._walk_overlap(
-                    CH, 0, True, False, ptrs, qs_blk, ta_np,
+                    CH, 0, True, 1, ptrs, qs_blk, ta_np,
                     jnp.asarray([i_rel], jnp.int32),
                     jnp.asarray([j], jnp.int32),
                 )

@@ -371,7 +371,7 @@ def blocked_scores(mode, use_jump, m_pad, n_pad, c_blk, interpret,
 SROW = 8  # rows per staged pointer DMA (uint8 slice alignment)
 
 
-def _blocked_ptr_kernel(mode, use_jump, pack, m_pad, c_blk, q_ref, t_ref,
+def _blocked_ptr_kernel(mode, use_jump, rpb, m_pad, c_blk, q_ref, t_ref,
                         allow_ref, n_ref, m_ref, p_ref,
                         score_ref, a_ref, b_ref, ptr_ref,
                         bnd_ref, stage_ref, sem_ref):
@@ -388,10 +388,11 @@ def _blocked_ptr_kernel(mode, use_jump, pack, m_pad, c_blk, q_ref, t_ref,
     and the smallest j within each matrix (alignment.h:672-690).
     Overlap scans the bottom row with the j=0 zero candidate folded into
     block 0 (alignment.h:950-959). Modes: global / local / fit(+jump) /
-    overlap. ``pack``: nibble layout, two DP rows per byte (pallas_ptr.py
-    docstring) — not available with use_jump.
+    overlap. ``rpb``: DP rows packed per byte — 1 (byte layout), 2
+    (nibble; any mode but fit+jump), 4 (2-bit; overlap only). See
+    pallas_ptr.py docstring.
     """
-    if pack:
+    if rpb > 1:
         K_HOME = K_UNSET = 3
         LBIT, UBIT = 1 << 2, 1 << 3
     else:
@@ -689,16 +690,22 @@ def _blocked_ptr_kernel(mode, use_jump, pack, m_pad, c_blk, q_ref, t_ref,
             )
         return (m_row, l_row, u_row, j_row, nM, nL, nU, nJ, acc), packed
 
-    rows_per_iter = 2 * SROW if pack else SROW
+    rows_per_iter = rpb * SROW
 
     def super_row(srow, carry):
         packs = []
         for sub_i in range(rows_per_iter):
             carry, packed = row_step(srow * rows_per_iter + sub_i, carry)
             packs.append(packed)
-        if pack:
-            packs = [packs[2 * k] | (packs[2 * k + 1] << 4)
-                     for k in range(SROW)]
+        if rpb > 1:
+            bits = 8 // rpb
+            packs = [
+                functools.reduce(
+                    lambda a, b_: a | b_,
+                    (packs[rpb * k + r] << (bits * r) for r in range(rpb)),
+                )
+                for k in range(SROW)
+            ]
         send_srow(
             srow, jnp.stack([p_.astype(jnp.uint8) for p_ in packs], axis=1)
         )
@@ -754,16 +761,18 @@ BIG = 1 << 30
 
 @functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 12))
 def blocked_ptr_fill(mode, use_jump, m_pad, n_pad, c_blk, interpret,
-                     qs, ts, allow, ns, ms, params, pack=False):
+                     qs, ts, allow, ns, ms, params, rows_per_byte=1):
     """Blocked full fill: returns (score (B,), a (B,), b (B,),
-    ptrs uint8 device-resident — (B, m_pad, n_pad), or (B, m_pad/2,
-    n_pad) nibble-packed when ``pack``). m_pad % 8 == 0 (16 with pack);
-    fit+jump cannot pack."""
-    assert n_pad % c_blk == 0 and m_pad % ((2 if pack else 1) * SROW) == 0
-    assert not (pack and use_jump)
+    ptrs uint8 device-resident — (B, m_pad/rows_per_byte, n_pad)).
+    m_pad % (rows_per_byte * 8) == 0. rows_per_byte: 1 byte layout
+    (required for fit+jump), 2 nibble, 4 two-bit (overlap only)."""
+    rpb = rows_per_byte
+    assert n_pad % c_blk == 0 and m_pad % (rpb * SROW) == 0
+    assert rpb in (1, 2, 4) and not (rpb > 1 and use_jump)
+    assert rpb < 4 or mode == "overlap"
     B = qs.shape[0]
-    r_out = m_pad // 2 if pack else m_pad
-    kern = functools.partial(_blocked_ptr_kernel, mode, use_jump, pack,
+    r_out = m_pad // rpb
+    kern = functools.partial(_blocked_ptr_kernel, mode, use_jump, rpb,
                              m_pad, c_blk)
     grid = (B // TILE_B, n_pad // c_blk)
     score, a, b, ptrs = pl.pallas_call(

@@ -6,17 +6,19 @@ on-device traceback-start info, so the complete alignment pipeline —
 fill + packed pointers + batched device walk (engine/device_tb.py) — runs
 on the chip with only the walked rows crossing the host link.
 
-With ``pack=True`` (every mode except fit+jump) each cell needs only
-4 bits — pM is 2 bits because code 3 doubles as the mode's fourth value
-(HOME for local, where M = max(..., 0) is never -inf; UNSET for
-global/fit, which have no HOME; overlap's 2-bit codes fit as-is) plus
-the pL/pU flag bits at 1<<2 / 1<<3 — so TWO consecutive DP rows share
-one byte (row 2k in the low nibble) and the pointer tensor is
-(B, m_pad/2, n_pad): half the HBM of the byte layout, doubling the
-full-alignment bucket capacity. fit+jump keeps the byte layout: pM
-spans 5 values (LOW/MID/UPP/JUMP/unset) and pJ needs its own bit —
-40 states cannot fit a nibble. Decode lives in engine/device_tb.py
-(one shift+mask per walk step; the walk is gather-bound, so free).
+With ``rows_per_byte=2`` (every mode except fit+jump) each cell needs
+only 4 bits — pM is 2 bits because code 3 doubles as the mode's fourth
+value (HOME for local, where M = max(..., 0) is never -inf; UNSET for
+global/fit, which have no HOME) plus the pL/pU flag bits at 1<<2 /
+1<<3 — so TWO consecutive DP rows share one byte (row 2k in the low
+bits) and the pointer tensor is (B, m_pad/2, n_pad): half the HBM of
+the byte layout, doubling the full-alignment bucket capacity. Overlap's
+codes are only 2 bits (LEFT/DIAG/RIGHT/unset), so it also supports
+``rows_per_byte=4`` — FOUR rows per byte, 4x capacity. fit+jump keeps
+the byte layout: pM spans 5 values (LOW/MID/UPP/JUMP/unset) and pJ
+needs its own bit — 40 states cannot fit a nibble. Decode lives in
+engine/device_tb.py (one shift+mask per walk step; the walk is
+gather-bound, so free).
 
 Pointer rows are built in a double-buffered VMEM staging buffer and
 DMA'd to the HBM-resident output tensor row by row, overlapping the next
@@ -79,19 +81,18 @@ def _first_eq_j(vec, target, mask, jcol):
     return jnp.min(jnp.where(hit, jcol, BIG), axis=1, keepdims=True)
 
 
-def _ptr_kernel(mode, use_jump, pack, m_pad, n_pad,
+def _ptr_kernel(mode, use_jump, rpb, m_pad, n_pad,
                 q_ref, t_ref, allow_ref, n_ref, m_ref, p_ref,
                 score_ref, a_ref, b_ref, ptr_ref, stage_ref, sem_ref):
     """Unified pointer-emitting kernel: mode in global/local/fit/overlap.
 
     Outputs: score (8,1) f32; a/b (8,1) i32 start info (global: a=state;
     local: a=i_max, b=j_max; fit: a=state(0 MID/1 LOW), b=j_max; overlap:
-    a=j_max); ptr (TILE_B, m_pad, n_pad) uint8 in HBM (cols 1..n_pad),
-    or (TILE_B, m_pad/2, n_pad) nibble-packed when ``pack`` (module
-    docstring).
+    a=j_max); ptr (TILE_B, m_pad/rpb, n_pad) uint8 in HBM (cols
+    1..n_pad) with ``rpb`` DP rows packed per byte (module docstring).
     """
-    if pack:
-        # nibble layout: pM 2 bits (3 = HOME for local, UNSET for
+    if rpb > 1:
+        # packed layout: pM 2 bits (3 = HOME for local, UNSET for
         # global/fit), pL at 1<<2, pU at 1<<3; no jump state
         K_HOME = K_UNSET = 3
         LBIT, UBIT = 1 << 2, 1 << 3
@@ -287,17 +288,24 @@ def _ptr_kernel(mode, use_jump, pack, m_pad, n_pad,
             )
         return (m_row, l_row, u_row, j_row, acc), packed
 
-    rows_per_iter = 2 * SROW if pack else SROW
+    rows_per_iter = rpb * SROW
 
     def super_row(srow, carry):
         packs = []
         for sub in range(rows_per_iter):
             carry, packed = row_step(srow * rows_per_iter + sub, carry)
             packs.append(packed)
-        if pack:
-            # DP rows 2k / 2k+1 share a byte: low / high nibble
-            packs = [packs[2 * k] | (packs[2 * k + 1] << 4)
-                     for k in range(SROW)]
+        if rpb > 1:
+            # DP rows rpb*k .. rpb*k+rpb-1 share a byte, row rpb*k in
+            # the low bits
+            bits = 8 // rpb
+            packs = [
+                functools.reduce(
+                    lambda a, bvv: a | bvv,
+                    (packs[rpb * k + r] << (bits * r) for r in range(rpb)),
+                )
+                for k in range(SROW)
+            ]
         packed4 = jnp.stack(
             [pk.astype(jnp.uint8) for pk in packs], axis=1
         )  # (TILE_B, SROW, n_pad)
@@ -327,18 +335,20 @@ def _ptr_kernel(mode, use_jump, pack, m_pad, n_pad,
 
 @functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 11))
 def pallas_ptr_fill(mode, use_jump, m_pad, n_pad, interpret,
-                    qs, ts, allow, ns, ms, params, pack=False):
+                    qs, ts, allow, ns, ms, params, rows_per_byte=1):
     """Full fill with packed pointer emission. Returns (score (B,), a (B,),
-    b (B,), ptrs uint8 device-resident — (B, m_pad, n_pad), or
-    (B, m_pad/2, n_pad) nibble-packed when ``pack``; decode via
-    engine/device_tb's pack4 path). m_pad must be a multiple of SROW=8
-    (uint8 DMA super-row alignment; 16 when ``pack``). fit+jump cannot
-    pack (6-bit cells)."""
-    assert m_pad % ((2 if pack else 1) * SROW) == 0
-    assert not (pack and use_jump)
+    b (B,), ptrs uint8 device-resident — (B, m_pad/rows_per_byte, n_pad);
+    decode via engine/device_tb). m_pad must be a multiple of
+    rows_per_byte * SROW (uint8 DMA super-row alignment). rows_per_byte:
+    1 = byte layout (required for fit+jump: 6-bit cells); 2 = nibble
+    layout (any mode but fit+jump); 4 = 2-bit layout (overlap only)."""
+    rpb = rows_per_byte
+    assert rpb in (1, 2, 4) and m_pad % (rpb * SROW) == 0
+    assert not (rpb > 1 and use_jump)
+    assert rpb < 4 or mode == "overlap"
     B = qs.shape[0]
-    r_out = m_pad // 2 if pack else m_pad
-    kern = functools.partial(_ptr_kernel, mode, use_jump, pack, m_pad, n_pad)
+    r_out = m_pad // rpb
+    kern = functools.partial(_ptr_kernel, mode, use_jump, rpb, m_pad, n_pad)
     grid = (B // TILE_B,)
     score, a, b, ptrs = pl.pallas_call(
         kern,

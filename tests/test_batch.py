@@ -165,15 +165,15 @@ def test_device_traceback_matches_host(mode):
 
 
 @pytest.mark.parametrize("mode,use_jump,pack", [
-    ("global", False, False), ("local", False, False),
-    ("overlap", False, False), ("fit", False, False), ("fit", True, False),
-    ("global", False, True), ("local", False, True),
-    ("overlap", False, True), ("fit", False, True),
+    ("global", False, 1), ("local", False, 1),
+    ("overlap", False, 1), ("fit", False, 1), ("fit", True, 1),
+    ("global", False, 2), ("local", False, 2),
+    ("overlap", False, 2), ("fit", False, 2), ("overlap", False, 4),
 ])
 def test_pallas_ptr_kernel_full_parity(mode, use_jump, pack):
     """Pointer-emitting Pallas kernel + device walk (interpret mode on CPU)
     vs the XLA full-alignment path: scores AND rows bit-identical —
-    including the nibble-packed (two rows per byte) pointer layout."""
+    including the packed (2 and 4 rows per byte) pointer layouts."""
     import jax.numpy as jnp
     from aligntools_tpu.engine import device_tb
     from aligntools_tpu.ops.pallas_ptr import pallas_ptr_fill
@@ -206,9 +206,9 @@ def test_pallas_ptr_kernel_full_parity(mode, use_jump, pack):
     params[0, :5] = [p.match, p.mismatch, p.gap_open, p.gap_extend, p.jump]
     args = tuple(jnp.asarray(x) for x in (qs, ts, allow, ns, ms, params))
     score, a, bvec, ptrs = pallas_ptr_fill(
-        mode, use_jump, m_pad, n_pad, True, *args, pack=pack
+        mode, use_jump, m_pad, n_pad, True, *args, rows_per_byte=pack
     )
-    assert ptrs.shape[1] == (m_pad // 2 if pack else m_pad)
+    assert ptrs.shape[1] == m_pad // pack
     score, a, bvec = np.asarray(score), np.asarray(a), np.asarray(bvec)
     want = align_batch(mode, pairs, p, sites_list=sites if use_jump else None)
     assert np.array_equal(score.astype(np.float64),

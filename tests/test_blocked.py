@@ -64,10 +64,10 @@ def test_blocked_matches_xla(mode, use_jump):
 
 
 @pytest.mark.parametrize("mode,use_jump,pack", [
-    ("global", False, False), ("local", False, False),
-    ("fit", True, False), ("overlap", False, False),
-    ("global", False, True), ("local", False, True),
-    ("fit", False, True), ("overlap", False, True),
+    ("global", False, 1), ("local", False, 1),
+    ("fit", True, 1), ("overlap", False, 1),
+    ("global", False, 2), ("local", False, 2),
+    ("fit", False, 2), ("overlap", False, 2), ("overlap", False, 4),
 ])
 def test_blocked_ptr_rows(mode, use_jump, pack):
     """Blocked pointer kernel + device walk (interpret): rows bit-identical
@@ -105,9 +105,9 @@ def test_blocked_ptr_rows(mode, use_jump, pack):
     params[0, :5] = [p.match, p.mismatch, p.gap_open, p.gap_extend, p.jump]
     args = tuple(jnp.asarray(x) for x in (qs, ts, allow, ns, ms, params))
     score, a, b, ptrs = blocked_ptr_fill(
-        mode, use_jump, m_pad, n_pad, c_blk, True, *args, pack=pack
+        mode, use_jump, m_pad, n_pad, c_blk, True, *args, rows_per_byte=pack
     )
-    assert ptrs.shape[1] == (m_pad // 2 if pack else m_pad)
+    assert ptrs.shape[1] == m_pad // pack
     score, a, b = np.asarray(score), np.asarray(a), np.asarray(b)
     want = align_batch(mode, pairs, p, sites_list=sites if use_jump else None)
     assert np.array_equal(score.astype(np.float64), [w.score for w in want])

@@ -114,9 +114,10 @@ def main():
     a = tuple(jnp.asarray(x) for x in (qs, ts, allow, ns, ms, params))
     for mode in ("global", "local", "fit", "overlap"):
         want = align_batch(mode, med, p, engine="xla")
-        for pack in (False, True):
+        for pack in (1, 2) + ((4,) if mode == "overlap" else ()):
             score, av, bv, ptrs = blocked_ptr_fill(
-                mode, False, 256, 65536, 8192, False, *a, pack=pack
+                mode, False, 256, 65536, 8192, False, *a,
+                rows_per_byte=pack,
             )
             score = np.asarray(score).astype(np.float64)
             av, bv = np.asarray(av), np.asarray(bv)
@@ -137,7 +138,8 @@ def main():
             for k in range(8):
                 assert rows[k] == (want[k].row1, want[k].row2), (mode, k)
             print(f"blocked-ptr {mode} @64k rows"
-                  f"{' (packed)' if pack else ''}: OK", flush=True)
+                  f"{f' (packed x{pack})' if pack > 1 else ''}: OK",
+                  flush=True)
 
     # 3b. FLAT pointer kernel on hardware, byte and nibble layouts
     from aligntools_tpu.ops.pallas_ptr import pallas_ptr_fill
@@ -151,9 +153,9 @@ def main():
     a = tuple(jnp.asarray(x) for x in (qs, ts, allow, ns, ms, params))
     for mode in ("global", "local", "fit", "overlap"):
         want = align_batch(mode, fl, p, engine="xla")
-        for pack in (False, True):
+        for pack in (1, 2) + ((4,) if mode == "overlap" else ()):
             score, av, bv, ptrs = pallas_ptr_fill(
-                mode, False, 512, 2048, False, *a, pack=pack
+                mode, False, 512, 2048, False, *a, rows_per_byte=pack,
             )
             score = np.asarray(score).astype(np.float64)
             av, bv = np.asarray(av), np.asarray(bv)
@@ -174,7 +176,8 @@ def main():
             for k in range(8):
                 assert rows[k] == (want[k].row1, want[k].row2), (mode, k)
             print(f"flat-ptr {mode}"
-                  f"{' (packed)' if pack else ''}: OK", flush=True)
+                  f"{f' (packed x{pack})' if pack > 1 else ''}: OK",
+                  flush=True)
 
     # 4. blocked pointer kernel for OVERLAP at 131k columns + device walk
     # (trace_back_overlap, alignment.h:896-922; long-target full rows)
