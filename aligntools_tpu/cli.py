@@ -159,6 +159,13 @@ def _enable_compile_cache() -> None:
 
         if jax.config.jax_platforms not in ("cpu",):
             return
+        if jax.device_count() > 1:
+            # multi-device (virtual-device test meshes / sharded CPU
+            # runs): XLA's LoadedExecutable.serialize() can hard-abort
+            # (SIGABRT) on shard_map executables in a long-lived process
+            # (observed under the 8-virtual-device suite). The cache only
+            # exists to speed cold single-pair CLI processes; skip it.
+            return
         cache = os.environ.get(
             "ALIGNTOOLS_JAX_CACHE",
             os.path.expanduser("~/.cache/aligntools-jax"),

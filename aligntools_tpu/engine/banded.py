@@ -408,14 +408,90 @@ def banded_score(
     return float(score), float(edge)
 
 
+# HBM budget for the materialized (B, m_pad, V_pad) window slab (the
+# kernel streams it; larger batches are chunked to stay under budget).
+PALLAS_SLAB_BYTES = 256 << 20
+
+
+def banded_tile_b(B: int, m_pad: int, V_pad: int) -> int:
+    """Batch-tile width for the banded Pallas kernel.
+
+    Like the flat kernels, it is per-instruction-overhead-bound at
+    narrow tiles — measured on v5e at 64x4096 W=128 (band-cell GCUPS):
+    2.5 / 4.8 / 8.4 / 11.8 at tile_b 8/16/32/64 (benchmarks/
+    probe_banded.py) — so widen up to the batch, a VMEM element budget
+    (resident q tile (tile_b, m_pad) + ~12 live (tile_b, V_pad) rows),
+    and a 512 cap (diminishing returns past the measured range)."""
+    cap = max(8, (12 << 20) // max(m_pad + 12 * V_pad, 1))
+    t = 8
+    while t < 512 and t * 2 <= min(B, cap):
+        t *= 2
+    return t
+
+
+def _banded_scores_pallas(mode, qs, te, ns, ms, band, params):
+    """Score the padded batch on the Pallas banded kernel (bit-identical
+    to the vmapped XLA fill — tests/test_banded.py)."""
+    from aligntools_tpu.ops.pallas_banded import (
+        SROW,
+        banded_pallas_scores,
+        build_t_win,
+    )
+
+    interpret = jax.default_backend() != "tpu"
+    B, m0 = qs.shape
+    V = 2 * band + 1
+    V_pad = -(-V // 128) * 128
+    m_pad = -(-max(m0, 1) // SROW) * SROW
+    tile_b = banded_tile_b(B, m_pad, V_pad)
+    B_pad = -(-B // tile_b) * tile_b
+    qs_p = np.full((B_pad, m_pad), -1, np.int32)
+    qs_p[:B, :m0] = qs
+    te_p = np.full((B_pad, te.shape[1]), -2, np.int32)
+    te_p[:B] = te
+    ns_p = np.zeros((B_pad, 1), np.int32)
+    ns_p[:B, 0] = ns
+    ms_p = np.zeros((B_pad, 1), np.int32)
+    ms_p[:B, 0] = ms
+    pv = np.array(
+        [[params.match, params.mismatch, params.gap_open,
+          params.gap_extend, params.jump, 0, 0, 0]], np.float32
+    )
+    chunk = max(tile_b, PALLAS_SLAB_BYTES // max(m_pad * V_pad * 4, 1))
+    chunk = max(tile_b, chunk // tile_b * tile_b)
+    best = np.empty(B_pad, np.float64)
+    edge = np.empty(B_pad, np.float64)
+    for lo in range(0, B_pad, chunk):
+        hi = min(lo + chunk, B_pad)
+        t_win = build_t_win(jnp.asarray(te_p[lo:hi]), m_pad, V_pad)
+        b, eg = banded_pallas_scores(
+            mode, band, m_pad, interpret, tile_b,
+            jnp.asarray(qs_p[lo:hi]), t_win,
+            jnp.asarray(ns_p[lo:hi]), jnp.asarray(ms_p[lo:hi]),
+            jnp.asarray(pv),
+        )
+        best[lo:hi] = np.asarray(b, np.float64)
+        edge[lo:hi] = np.asarray(eg, np.float64)
+    return best[:B], edge[:B]
+
+
 def banded_batch_scores(
     mode: str,
     pairs,
     band: int,
     params: AlignParams = AlignParams(),
+    engine: str = "auto",
 ):
-    """Batched banded scores (vmapped single-pair fill); all pairs share
-    one band and padded shapes. Returns (scores, edge_best) float arrays."""
+    """Batched banded scores; all pairs share one band and padded shapes.
+    Returns (scores, edge_best) float arrays.
+
+    ``engine``: "xla" (vmapped lax.scan fill), "pallas" (VMEM-resident
+    window kernel, bit-identical), or "auto". Auto routes like the flat
+    engines: the XLA fill's fused-carry regime holds only at large batch
+    (measured v5e, band cells: 64x4096 W=128 XLA 2.4 vs Pallas 11.8
+    GCUPS; 256x1024 W=64 XLA 14.0 vs 10.7; 2048x512 W=64 XLA 36.1 vs
+    12.0 — benchmarks/probe_banded.py), so Pallas engages on TPU iff
+    the batch is below the autotuned ``bmin`` threshold."""
     B = len(pairs)
     m_pad = max(len(q) for q, _ in pairs)
     n_max = max(len(t) for _, t in pairs)
@@ -423,11 +499,14 @@ def banded_batch_scores(
     qs = np.full((B, m_pad), -1, np.int32)
     te = np.full((B, band + n_max + V + 1), -2, np.int32)
     ns = np.zeros(B, np.int32)
+    ms = np.zeros(B, np.int32)
     ps = np.zeros((B, 8), np.float32)
     ps[:, :4] = [params.match, params.mismatch, params.gap_open,
                  params.gap_extend]
     if mode not in BANDED_MODES:
         raise ValueError(f"banded engine covers {BANDED_MODES}")
+    if engine not in ("auto", "xla", "pallas"):
+        raise ValueError(f"unknown banded engine {engine!r}")
     for k, (q, t) in enumerate(pairs):
         if mode in ("global", "edit") and abs(len(t) - len(q)) > band:
             raise ValueError("band cannot contain the end cell")
@@ -436,8 +515,15 @@ def banded_batch_scores(
         qs[k, : len(q)] = np.frombuffer(q, np.uint8)
         te[k, band : band + len(t)] = np.frombuffer(t, np.uint8)
         ns[k] = len(t)
+        ms[k] = len(q)
         ps[k, 5] = len(q)
-    import jax
+    if engine == "auto" and jax.default_backend() == "tpu":
+        from aligntools_tpu.engine.autotune import table
+
+        if B < table()["bmin"]:
+            engine = "pallas"
+    if engine == "pallas":
+        return _banded_scores_pallas(mode, qs, te, ns, ms, band, params)
 
     out = jax.jit(
         jax.vmap(

@@ -36,11 +36,15 @@ def _build() -> bool:
 
 
 def get_lib():
-    """The loaded native library, or None when unavailable."""
+    """The loaded native library, or None when unavailable (or disabled
+    via ALIGNTOOLS_NO_NATIVE=1 — forces the pure-Python fallbacks)."""
     global _lib, _tried
     with _lock:
         if _lib is not None or _tried:
             return _lib
+        if os.environ.get("ALIGNTOOLS_NO_NATIVE"):
+            _tried = True
+            return None
         _tried = True
         # Always invoke make: its mtime check is a cheap no-op when the
         # .so is current, and guarantees the loaded library matches the

@@ -152,13 +152,95 @@ def bench_fit_jump(engine, B, m, L, rng):
     return B * m * L / per / 1e9, per
 
 
+def bench_banded(mode, engine, B, L, W, rng):
+    """Banded fills: GCUPS counts band cells only (B * L * (2W+1)) — the
+    work actually done; the full-matrix-equivalent rate is (L/V)x higher."""
+    from aligntools_tpu.engine.banded import banded_fill
+    from aligntools_tpu.ops.pallas_banded import (
+        banded_pallas_scores,
+        build_t_win,
+    )
+
+    alpha = np.frombuffer(b"ACGT", dtype=np.uint8)
+    V = 2 * W + 1
+    qs = rng.choice(alpha, (B, L)).astype(np.int32)
+    te = np.full((B, W + L + V + 1), -2, np.int32)
+    te[:, W : W + L] = rng.choice(alpha, (B, L))
+    if engine == "xla":
+        ps = np.zeros((B, 8), np.float32)
+        ps[:, :5] = [1, -2, -5, -1, -10]
+        ps[:, 5] = L
+        ps = jnp.asarray(ps)
+        tej = jnp.asarray(te)
+        ns = jnp.asarray(np.full(B, L, np.int32))
+
+        def one(qs):
+            return jax.vmap(
+                lambda q, t, n, p: banded_fill(mode, q, t, n, W, p)[0]
+            )(qs, tej, ns, ps)
+    else:  # pallas
+        from aligntools_tpu.engine.banded import banded_tile_b
+
+        V_pad = -(-V // 128) * 128
+        tile_b = banded_tile_b(B, L, V_pad)
+        t_win = build_t_win(jnp.asarray(te), L, V_pad)
+        ns = jnp.asarray(np.full((B, 1), L, np.int32))
+        ms = jnp.asarray(np.full((B, 1), L, np.int32))
+        pv = jnp.asarray(
+            np.array([[1, -2, -5, -1, -10, 0, 0, 0]], np.float32)
+        )
+
+        # t_win must be a traced ARGUMENT: closure-captured arrays embed
+        # as HLO constants, and the (B, L, V_pad) slab blows the tunnel's
+        # remote-compile request limit (HTTP 413)
+        @functools.partial(jax.jit, static_argnums=(0,))
+        def run_k(K, qs, tw):
+            def body(k, carry):
+                acc, qs = carry
+                sc = banded_pallas_scores(
+                    mode, W, L, False, tile_b, qs, tw, ns, ms, pv
+                )[0]
+                return acc + sc, qs + (sc * 0).astype(qs.dtype)[:, None]
+
+            acc, _ = jax.lax.fori_loop(
+                0, K, body, (jnp.zeros(qs.shape[0]), qs)
+            )
+            return acc
+
+        qsj = jnp.asarray(qs)
+        per = _amortized(lambda K: run_k(K, qsj, t_win))
+        return B * L * V / per / 1e9, per
+
+    per = _amortized(_chain(one, jnp.asarray(qs)))
+    return B * L * V / per / 1e9, per
+
+
 def main():
     rng = np.random.default_rng(0)
     rows = []
+    only = None
+    for a in sys.argv[1:]:
+        if a.startswith("--only="):
+            only = a.split("=", 1)[1]
 
     def emit(row):
         rows.append(row)
         print(json.dumps(row), flush=True)
+
+    if only in (None, "banded"):
+        for mode in ("global", "edit"):
+            for B, L, W in ((64, 4096, 128), (256, 1024, 64)):
+                for engine in ("xla", "pallas"):
+                    try:
+                        g, per = bench_banded(mode, engine, B, L, W, rng)
+                        emit({"case": f"banded {mode} {B}x{L} W={W}",
+                              "engine": engine, "gcups": round(g, 1),
+                              "fill_ms": round(per * 1e3, 2)})
+                    except Exception as err:
+                        emit({"case": f"banded {mode} {B}x{L} W={W}",
+                              "engine": engine, "error": str(err)[:120]})
+    if only == "banded":
+        return
 
     for mode in ("local", "global", "overlap", "edit"):
         for B, L in ((256, 2048), (32, 8192)):

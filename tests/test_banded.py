@@ -76,6 +76,34 @@ def test_banded_batch():
     assert np.array_equal(scores, want)
 
 
+@pytest.mark.parametrize("mode", ["global", "local", "edit", "fit",
+                                  "overlap"])
+def test_banded_pallas_matches_xla(mode):
+    """Pallas banded kernel (interpret mode on CPU) vs the vmapped XLA
+    fill: best AND edge bit-identical, mixed lengths, non-multiple batch."""
+    from aligntools_tpu.engine.banded import banded_batch_scores
+
+    rng = np.random.default_rng(211)
+    for pd, band in (
+        (dict(match=2, mismatch=-2, gap_open=-4, gap_extend=-1), 32),
+        (dict(match=2, mismatch=-3, gap_open=-1, gap_extend=-2), 17),
+    ):  # second set has o > e (exercises the local open-at-border fold)
+        p = AlignParams(**pd)
+        pairs = []
+        for k in range(11):
+            q, t = _similar_pair(rng, int(rng.integers(20, 150)),
+                                 mutations=6, indels=3)
+            if mode in ("global", "edit") and abs(len(t) - len(q)) > band:
+                q, t = q[: len(t)], t  # keep end cell in band
+            if mode == "fit" and len(q) > len(t):
+                q, t = t, q
+            pairs.append((q, t))
+        want = banded_batch_scores(mode, pairs, band, p, engine="xla")
+        got = banded_batch_scores(mode, pairs, band, p, engine="pallas")
+        assert np.array_equal(got[0], want[0]), (mode, pd)
+        assert np.array_equal(got[1], want[1]), (mode, pd)
+
+
 def test_banded_edit():
     """Ukkonen-banded edit distance: full band == spec; small band on
     similar pairs converges to the exact distance (u=1: provable regime)."""

@@ -241,6 +241,32 @@ def main():
     assert walked == got, ("rescan@1M rescore", walked, got)
     print(f"rescan fit @1M columns: OK (score {got})", flush=True)
 
+    # 6. banded Pallas kernel on hardware: bit-parity with the vmapped
+    # XLA banded fill AND with the full (unbanded) engine on similar
+    # pairs whose optimal path stays in band.
+    from aligntools_tpu.engine.banded import banded_batch_scores
+    from aligntools_tpu.batch import batch_scores
+
+    def similar(n):
+        q = rng.choice(alpha, n).astype(np.uint8)
+        t = list(q.tolist())
+        for _ in range(n // 30):
+            t[int(rng.integers(0, len(t)))] = int(rng.choice(alpha))
+        for _ in range(4):
+            t.insert(int(rng.integers(0, len(t))), int(rng.choice(alpha)))
+        return bytes(q.tolist()), bytes(t)
+
+    bp = [similar(int(rng.integers(500, 2000))) for _ in range(24)]
+    for mode in ("global", "local", "edit", "fit", "overlap"):
+        got, ge = banded_batch_scores(mode, bp, 64, p, engine="pallas")
+        want, we = banded_batch_scores(mode, bp, 64, p, engine="xla")
+        assert np.array_equal(got, want), ("banded-pallas", mode)
+        assert np.array_equal(ge, we), ("banded-pallas edge", mode)
+        if mode in ("global", "local"):
+            full = batch_scores(mode, bp, p)
+            assert np.array_equal(got, full), ("banded-vs-full", mode)
+        print(f"banded-pallas {mode} W=64: OK", flush=True)
+
     print("TPU CHECK PASSED", flush=True)
 
 
