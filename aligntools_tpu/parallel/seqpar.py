@@ -24,12 +24,16 @@ stream at full vector width.
 
 Full alignments (round 2): ``seqpar_align`` runs the same sharded fill
 with per-device packed-pointer slab emission — each device stacks its
-block's pointer rows (the engine/scan.py uint8 byte layout) via the scan's
-ys output, shard_map assembles them into the (m_pad, n_pad) global tensor
-(P(None, 'seq')-sharded, never gathered to the host), start info reduces
-across devices with pmax/pmin respecting the reference's tie-break order,
-and the batched device walk (engine/device_tb.py) emits the rows.
-Score-only remains the cheap path. All modes (edit has no traceback).
+block's pointer rows via the scan's ys output, shard_map assembles them
+into the (m_pad/rpb, n_pad) global tensor (P(None, 'seq')-sharded, never
+gathered to the host), start info reduces across devices with pmax/pmin
+respecting the reference's tie-break order, and the batched device walk
+(engine/device_tb.py) emits the rows. Slabs are bit-packed in the scan
+itself (rpb query rows per step): 4 rows/byte for overlap's 2-bit codes,
+2 rows/byte (nibbles) for the affine modes, full bytes only for
+fit+jump's 6 bits — so sharded full-alignment HBM is 2-4x smaller than
+one byte per cell. Score-only remains the cheap path. All modes (edit
+has no traceback).
 """
 
 from __future__ import annotations
@@ -229,13 +233,20 @@ def _seqpar_local_fn(mode, use_jump, axis):
     return local_fn
 
 
-def _seqpar_local_ptr_fn(mode, use_jump, axis):
-    """Like _seqpar_local_fn but emits packed pointer rows (the
-    engine/scan.py uint8 layout, columns 1..n_pad) as the scan's ys and
-    tracks full traceback-start info. Returns (score, a, b, ptrs) where
-    ptrs is this device's (m_pad, W) slab and a/b are the per-mode start
-    scalars (global: state; local: i_max/j_max; fit: use_l/j_max;
-    overlap: j_max/-)."""
+def _seqpar_local_ptr_fn(mode, use_jump, axis, rpb=1):
+    """Like _seqpar_local_fn but emits packed pointer rows (columns
+    1..n_pad) as the scan's ys and tracks full traceback-start info.
+
+    ``rpb`` (DP rows per byte) selects the slab layout — the same three
+    engine/device_tb.py decodes used by the flat/blocked kernels:
+      1: engine/scan.py byte layout (required for fit+jump's 6 bits);
+      2: nibble layout — pM 2 bits (3 = HOME/unset), L bit 2, U bit 3;
+         the scan steps TWO query rows per iteration so only the packed
+         byte is ever materialized (half the slab HBM of rpb=1);
+      4: overlap's 2-bit codes, FOUR rows per scan step.
+    Returns (score, a, b, ptrs) where ptrs is this device's
+    (m_pad/rpb, W) slab and a/b are the per-mode start scalars (global:
+    state; local: i_max/j_max; fit: use_l/j_max; overlap: j_max/-)."""
     BIGF = jnp.float32(1 << 30)
 
     def local_fn(q_arr, t_arr, allow, n, params):
@@ -348,12 +359,17 @@ def _seqpar_local_ptr_fn(mode, use_jump, axis):
             vals = jnp.stack(cands)
             m_row = vals.max(axis=0)
             pm = jnp.argmax(vals, axis=0).astype(jnp.int32)
-            if mode == "local" and not use_jump:
-                pm = jnp.where(pm == 3, 4, pm)  # HOME code is 4, not 3
-            pm = jnp.where(m_row > NEG, pm, 7)
+            if rpb == 1:
+                if mode == "local" and not use_jump:
+                    pm = jnp.where(pm == 3, 4, pm)  # HOME code is 4, not 3
+                pm = jnp.where(m_row > NEG, pm, 7)
+            else:  # nibble layout: pM 2 bits, code 3 = HOME/unset
+                pm = jnp.where(m_row > NEG, jnp.minimum(pm, 3), 3)
+            lbit = 1 << 3 if rpb == 1 else 1 << 2
+            ubit = 1 << 4 if rpb == 1 else 1 << 3
             la, lb2 = lp + e, mp + o
             l_row = jnp.maximum(la, lb2)
-            plbit = jnp.where(la >= lb2, 0, 1 << 3)
+            plbit = jnp.where(la >= lb2, 0, lbit)
             m_cur_s, _ = _shift_from_left(m_row, m_row[-1], axis)
             m_cur_s = m_cur_s.at[0].set(jnp.where(first, bMi, m_cur_s[0]))
             cand = m_cur_s + o - e * jf
@@ -361,7 +377,7 @@ def _seqpar_local_ptr_fn(mode, use_jump, axis):
             u_row = v + e * jf
             u_s, _ = _shift_from_left(u_row, u_row[-1], axis)
             u_s = u_s.at[0].set(jnp.where(first, jnp.float32(u_seed), u_s[0]))
-            pubit = jnp.where(m_cur_s + o >= u_s + e, 0, 1 << 4)
+            pubit = jnp.where(m_cur_s + o >= u_s + e, 0, ubit)
             if use_jump:
                 jc = jnp.where(allow > 0.0, m_cur_s + jp, NEG)
                 j_row = _dist_scan_max(jc, jnp.float32(NEG), axis)
@@ -423,22 +439,39 @@ def _seqpar_local_ptr_fn(mode, use_jump, axis):
             "i": jnp.int32(0), "best": NEG,
             "a": jnp.float32(0), "b": jnp.float32(0),
         }
-        (_, _, _, _, acc), ptrs = jax.lax.scan(
-            step, (m0, l0, u0row, j0row, acc0), q_arr.astype(jnp.float32)
-        )
+        carry0 = (m0, l0, u0row, j0row, acc0)
+        if rpb == 1:
+            (_, _, _, _, acc), ptrs = jax.lax.scan(
+                step, carry0, q_arr.astype(jnp.float32)
+            )
+        else:
+            # rpb query rows per scan step: only the packed byte is ever
+            # materialized, so the slab is rpb x smaller end to end
+            bits = 8 // rpb
+
+            def gstep(carry, qv):
+                out = jnp.zeros(t_arr.shape, jnp.int32)
+                for r in range(rpb):
+                    carry, code = step(carry, qv[r])
+                    out = out | (code.astype(jnp.int32) << (r * bits))
+                return carry, out.astype(jnp.uint8)
+
+            (_, _, _, _, acc), ptrs = jax.lax.scan(
+                gstep, carry0, q_arr.astype(jnp.float32).reshape(-1, rpb)
+            )
         return acc["best"], acc["a"], acc["b"], ptrs
 
     return local_fn
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
-def _seqpar_fill_ptr(mode, n_pad, use_jump, mesh, q_arr, t_arr, allow, n,
-                     params):
-    """Sharded full fill: (score, a, b) replicated + the (m_pad, n_pad)
-    packed pointer tensor sharded P(None, 'seq') — assembled from the
-    per-device slabs, never leaving the devices."""
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4))
+def _seqpar_fill_ptr(mode, n_pad, use_jump, rpb, mesh, q_arr, t_arr, allow,
+                     n, params):
+    """Sharded full fill: (score, a, b) replicated + the (m_pad/rpb,
+    n_pad) packed pointer tensor sharded P(None, 'seq') — assembled from
+    the per-device slabs, never leaving the devices."""
     axis = "seq"
-    local_fn = _seqpar_local_ptr_fn(mode, use_jump, axis)
+    local_fn = _seqpar_local_ptr_fn(mode, use_jump, axis, rpb)
     return jax.shard_map(
         local_fn,
         mesh=mesh,
@@ -474,8 +507,11 @@ def seqpar_align(
     m, n = len(q), len(t)
     quantum = 128 * D
     n_pad = max(quantum, -(-n // quantum) * quantum)
-    m_pad = max(8, m)
     use_jump = sites is not None and mode == "fit"
+    # slab packing: 2-bit codes (4 rows/byte) for overlap, nibbles for
+    # the affine modes; fit+jump needs 6 bits so stays at 1 row/byte
+    rpb = 1 if use_jump else (4 if mode == "overlap" else 2)
+    m_pad = max(8, -(-m // rpb) * rpb)
     qa = np.full(m_pad, -1, np.int32)
     qa[:m] = np.frombuffer(q, np.uint8)
     ta = np.full(n_pad, -2, np.int32)
@@ -499,7 +535,8 @@ def seqpar_align(
         jax.device_put(jnp.int32(n), rep),
         jax.device_put(jnp.asarray(pv), rep),
     )
-    score, a, b, ptrs = _seqpar_fill_ptr(mode, n_pad, use_jump, mesh, *args)
+    score, a, b, ptrs = _seqpar_fill_ptr(mode, n_pad, use_jump, rpb, mesh,
+                                         *args)
     score, a, b = float(score), int(a), int(b)
     if mode == "fit" and not np.isfinite(score):
         raise RuntimeError("fit: no finite traceback start (reference UB)")
@@ -513,7 +550,8 @@ def seqpar_align(
     else:  # overlap
         start = (0, m, a)
     rows = device_tb.batch_traceback(
-        mode, ptrs[None], qa[None], ta[None], [(q, t)], [start], col_base=1
+        mode, ptrs[None], qa[None], ta[None], [(q, t)], [start],
+        col_base=1, pack4=rpb if rpb > 1 else False,
     )
     return AlignResult(score, *rows[0])
 

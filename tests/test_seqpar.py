@@ -99,3 +99,40 @@ def test_seqpar_full_tie_heavy():
             want = align_batch(mode, [(q, t)], p)[0]
             assert got.score == want.score, (mode, i)
             assert (got.row1, got.row2) == (want.row1, want.row2), (mode, i)
+
+
+def test_seqpar_slab_packing_shapes():
+    """The sharded pointer slab is bit-packed IN the fill scan: 4 DP rows
+    per byte for overlap's 2-bit codes, 2 (nibbles) for the affine modes,
+    1 only for fit+jump's 6-bit layout (parallel/seqpar.py docstring) —
+    checked via eval_shape so a silent fallback to byte rows would fail."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from aligntools_tpu.parallel import seqpar as sp
+
+    mesh = Mesh(np.asarray(jax.devices()), ("seq",))
+    n_pad = 128 * mesh.devices.size
+    m_pad = 16
+    args = (
+        jnp.zeros(m_pad, jnp.int32),
+        jnp.zeros(n_pad, jnp.int32),
+        jnp.ones(n_pad, jnp.float32),
+        jnp.int32(n_pad),
+        jnp.zeros(8, jnp.float32),
+    )
+    for mode, use_jump, rpb in (
+        ("global", False, 2), ("local", False, 2), ("fit", False, 2),
+        ("overlap", False, 4), ("fit", True, 1),
+    ):
+        out = jax.eval_shape(
+            functools.partial(
+                sp._seqpar_fill_ptr, mode, n_pad, use_jump, rpb, mesh
+            ),
+            *args,
+        )
+        assert out[3].shape == (m_pad // rpb, n_pad), (mode, rpb)
+        assert out[3].dtype == jnp.uint8
