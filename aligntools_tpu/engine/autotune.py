@@ -15,6 +15,13 @@ Protocol (``aligntools calibrate`` or :func:`calibrate`):
   * ``nmax``: at the deepest batch that won above, time both engines at
     n_pad 2048/4096/8192 and take the largest width where XLA still
     wins.
+  * ``banded_bmin``: the same batch sweep for the BANDED engines
+    (engine/banded.py vs ops/pallas_banded.py, L=2048 W=64) — the banded
+    XLA fill's fused-carry window is also batch-gated but need not break
+    at the same point as the flat engine's.
+  * ``flat_tile_cap``: the flat Pallas kernel's hard batch-tile ceiling —
+    128 vs 256 timed at the 256x2048 sweet spot (v5e measures 50.6 vs
+    48.7 GCUPS, so 128 stands there; another generation may prefer 256).
 Timing uses the same amortized on-device chaining as benchmarks/suite.py
 (K fills with a serial data dependency; difference two K values) so the
 30-90 ms per-call tunnel latency cancels. Total runtime is dominated by
@@ -33,7 +40,7 @@ import re
 import time
 
 CACHE_ENV = "ALIGNTOOLS_JAX_CACHE"
-_DEFAULTS = {"bmin": 128, "nmax": 4096}
+_DEFAULTS = {"bmin": 128, "nmax": 4096, "flat_tile_cap": 128}
 _loaded: dict | None = None
 
 
@@ -138,6 +145,102 @@ def _bench_pair(batch, n_pad):
     return out[0], out[1]
 
 
+def _chain_amortized(one, qs, *extras):
+    """Amortized per-call seconds for ``one(qs, *extras)->(B,) scores``
+    chained on-device (scores fed back into qs to serialize iterations).
+    Large operands MUST ride ``extras`` — closure-captured arrays embed
+    as HLO constants and blow the axon tunnel's remote-compile request
+    limit (HTTP 413)."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def run_k(K, q, *ex):
+        def body(_, carry):
+            acc, qq = carry
+            sc = one(qq, *ex).reshape(-1)[: qq.shape[0]]
+            return acc + sc, qq + (sc * 0).astype(qq.dtype)[:, None]
+
+        acc, _ = jax.lax.fori_loop(0, K, body, (jnp.zeros(q.shape[0]), q))
+        return acc
+
+    return _amortized(lambda K: run_k(K, qs, *extras))
+
+
+def _bench_banded_pair(batch, L, W):
+    """Amortized seconds per banded fill for (xla, pallas) at batch x L,
+    band W, global mode."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from aligntools_tpu.engine.banded import banded_fill, banded_tile_b
+    from aligntools_tpu.ops.pallas_banded import (
+        banded_pallas_scores,
+        build_t_win,
+    )
+
+    rng = np.random.default_rng(7)
+    alpha = np.frombuffer(b"ACGT", dtype=np.uint8)
+    V = 2 * W + 1
+    qs = jnp.asarray(rng.choice(alpha, (batch, L)).astype(np.int32))
+    te = np.full((batch, W + L + V + 1), -2, np.int32)
+    te[:, W : W + L] = rng.choice(alpha, (batch, L))
+    ps = np.zeros((batch, 8), np.float32)
+    ps[:, :5] = [1, -2, -5, -1, -10]
+    ps[:, 5] = L
+    ps = jnp.asarray(ps)
+    tej = jnp.asarray(te)
+    ns = jnp.asarray(np.full(batch, L, np.int32))
+
+    def one_xla(q, te_arg):
+        return jax.vmap(
+            lambda qq, tt, nn, pp: banded_fill("global", qq, tt, nn, W, pp)[0]
+        )(q, te_arg, ns, ps)
+
+    V_pad = -(-V // 128) * 128
+    tile = banded_tile_b(batch, L, V_pad)
+    t_win = build_t_win(tej, L, V_pad)
+    ns2 = jnp.asarray(np.full((batch, 1), L, np.int32))
+    pv = jnp.asarray(np.array([[1, -2, -5, -1, -10, 0, 0, 0]], np.float32))
+
+    def one_pl(q, tw):
+        return banded_pallas_scores(
+            "global", W, L, False, tile, q, tw, ns2, ns2, pv
+        )[0]
+
+    return (
+        _chain_amortized(one_xla, qs, tej),
+        _chain_amortized(one_pl, qs, t_win),
+    )
+
+
+def _bench_flat_tile(tile, batch=256, n_pad=2048):
+    """Amortized seconds per flat-Pallas local fill at a forced tile."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from aligntools_tpu.ops import pallas_scan as pk
+
+    rng = np.random.default_rng(7)
+    alpha = np.frombuffer(b"ACGT", dtype=np.uint8)
+    qs = jnp.asarray(rng.choice(alpha, (batch, n_pad)).astype(np.int32))
+    ts = jnp.asarray(rng.choice(alpha, (batch, n_pad)).astype(np.int32))
+    ns = jnp.asarray(np.full((batch, 1), n_pad, np.int32))
+    pm = np.zeros((1, 8), np.float32)
+    pm[0, :5] = [1, -2, -5, -1, -10]
+    pm = jnp.asarray(pm)
+
+    def one(q):
+        return pk.pallas_scores(
+            "local", n_pad, n_pad, False, q, ts, ns, ns, pm, tile_b=tile
+        )
+
+    return _chain_amortized(one, qs)
+
+
 def calibrate(force: bool = False, log=print) -> dict:
     """Measure the crossover table on the current device and cache it.
     Returns the table. No-op (returns the cached table) unless ``force``
@@ -180,6 +283,24 @@ def calibrate(force: bool = False, log=print) -> dict:
                 nmax = n_pad
     result["bmin"] = int(bmin)
     result["nmax"] = int(nmax)
+    # 3. banded crossover: smallest batch where the XLA banded fill wins
+    banded_bmin = None
+    for batch in (32, 64, 128, 256):
+        tx, tp = _bench_banded_pair(batch, 2048, 64)
+        result["measured"][f"banded_b{batch}"] = {"xla": tx, "pallas": tp}
+        log(f"  banded b{batch:4d} x 2048 W=64: xla {tx*1e3:8.2f} ms  "
+            f"pallas {tp*1e3:8.2f} ms")
+        if tx < tp and banded_bmin is None:
+            banded_bmin = batch
+    result["banded_bmin"] = int(
+        banded_bmin if banded_bmin is not None else 1 << 30
+    )
+    # 4. flat kernel batch-tile ceiling (128 vs 256 at the sweet spot)
+    t128 = _bench_flat_tile(128)
+    t256 = _bench_flat_tile(256)
+    result["measured"]["flat_tile"] = {"t128": t128, "t256": t256}
+    log(f"  flat tile 128: {t128*1e3:8.2f} ms   256: {t256*1e3:8.2f} ms")
+    result["flat_tile_cap"] = 256 if t256 < t128 else 128
     os.makedirs(os.path.dirname(path), exist_ok=True)
     tmp = path + ".tmp"
     with open(tmp, "w") as f:

@@ -520,7 +520,8 @@ def banded_batch_scores(
     if engine == "auto" and jax.default_backend() == "tpu":
         from aligntools_tpu.engine.autotune import table
 
-        if B < table()["bmin"]:
+        t = table()
+        if B < t.get("banded_bmin", t["bmin"]):
             engine = "pallas"
     if engine == "pallas":
         return _banded_scores_pallas(mode, qs, te, ns, ms, band, params)

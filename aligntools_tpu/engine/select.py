@@ -49,12 +49,23 @@ def flat_tile_b(batch: int, n_pad: int) -> int:
     vmem_limit_bytes to the footprint (ops/pallas_scan._grid_call), and
     ~24 live (tile_b, n_pad) f32 rows at 512Ki lanes sit under the 100
     MiB ceiling (32x8192 measured 46.5 GCUPS, 16x32768 fit 28.1).
+
+    The 128 hard ceiling was confirmed by measurement (256 is 4% slower
+    at 256x2048 on v5e) but is table-driven so `aligntools calibrate`
+    can raise it on a device generation that prefers wider tiles.
     """
+    from aligntools_tpu.engine.autotune import table
+
+    hard = table().get("flat_tile_cap", 128) if _on_tpu() else 128
     cap = max(8, 524288 // max(n_pad, 1))
     t = 8
-    while t < 128 and t * 2 <= cap and t < batch:
+    while t < hard and t * 2 <= cap and t < batch:
         t *= 2
     return t
+
+
+def _on_tpu() -> bool:
+    return jax.default_backend() == "tpu"
 
 
 def use_pallas(batch: int, m_pad: int, n_pad: int, mode: str = "local") -> bool:
