@@ -222,12 +222,16 @@ def main():
     for a in sys.argv[1:]:
         if a.startswith("--only="):
             only = a.split("=", 1)[1]
+            if only not in ("banded", "flat"):
+                sys.exit(f"unknown --only={only} (choices: banded, flat)")
 
     def emit(row):
         rows.append(row)
         print(json.dumps(row), flush=True)
 
-    if only in (None, "banded"):
+    if only == "flat":
+        pass  # fall through to the flat/blocked cases below
+    elif only in (None, "banded"):
         for mode in ("global", "edit"):
             for B, L, W in ((64, 4096, 128), (256, 1024, 64)):
                 for engine in ("xla", "pallas"):
