@@ -32,8 +32,9 @@ remains available as a cheap diagnostic.
 
 Modes: global, local, edit, fit (WITHOUT the jump state — a junction
 jump teleports across diagonals, which no band can contain), overlap.
-fit/overlap are score-only like edit; global/local also emit pointers.
-Requires |n - m| <= W for global/edit (the end cell must be in band).
+Every mode with a traceback (all but edit) also emits window-coordinate
+pointers, so ``banded_align`` returns full rows for global/local/fit/
+overlap. Requires |n - m| <= W for global/edit (end cell in band).
 
 Reference recurrences: src/alignment.h:417-473 (global), 805-847 (local),
 291-315 (edit), 596-694 (fit, sans jump), 926-964 (overlap).
@@ -118,7 +119,7 @@ def banded_fill(mode, q_arr, t_ext, n, w_pad, params, emit_ptrs=False):
         m0 = jnp.where(j_row0 == 0, 0.0, NEG)
 
         def ostep(carry, qc):
-            mp, best, edge, i = carry
+            mp, best, jmax, edge, i = carry
             i = i + 1
             jcol = i - w_pad + kidx
             jf = jcol.astype(jnp.float32)
@@ -138,20 +139,38 @@ def banded_fill(mode, q_arr, t_ext, n, w_pad, params, emit_ptrs=False):
             c = jnp.where(at_j0, 0.0, cand - o * jf)
             row = jax.lax.cummax(c) + o * jf
             row = jnp.where(in_mat, row, NEG)
-            fin = jnp.maximum(
-                jnp.max(jnp.where(jcol <= n - 1, row, NEG)), 0.0
+            # pointer codes in arg order LEFT, DIAGONAL, RIGHT
+            # (alignment.h:944; earliest argument wins ties)
+            lh = jnp.concatenate([jnp.full(1, NEG), row[:-1]])
+            lh = jnp.where(at_j0_diag, 0.0, lh)  # M(i, 0) = 0
+            code = jnp.where(
+                lh + o >= row, 0,
+                jnp.where(diag + sub >= vert + o, 1, 2),
             )
-            best = jnp.where(i == m, fin, best)
+            packed = (
+                jnp.where(row > NEG, code, 3).astype(jnp.uint8)
+                if emit_ptrs else jnp.zeros((), jnp.uint8)
+            )
+            # bottom-row start: argmax over j in [0, n-1]; col0's 0.0 (an
+            # always-available empty alignment) is scanned FIRST, so it
+            # wins unless some j >= 1 is strictly greater
+            # (alignment.h:950-959)
+            rowmax = jnp.max(jnp.where(jcol <= n - 1, row, NEG))
+            hit = (row == rowmax) & (jcol <= n - 1) & in_mat
+            jarg = jnp.min(jnp.where(hit, jcol, 1 << 30)).astype(jnp.int32)
+            fin = jnp.maximum(rowmax, 0.0)
+            jarg = jnp.where(rowmax > 0.0, jarg, 0)
+            latch = i == m
+            best = jnp.where(latch, fin, best)
+            jmax = jnp.where(latch, jarg, jmax)
             edge = jnp.maximum(edge, jnp.maximum(row[0], row[V - 1]))
-            return (row, best, edge, i), None
+            return (row, best, jmax, edge, i), packed
 
-        init = (m0, NEG, NEG, jnp.int32(0))
-        (_, best, edge, _), _ = jax.lax.scan(
+        init = (m0, NEG, jnp.int32(0), NEG, jnp.int32(0))
+        (_, best, jmax, edge, _), ptrs = jax.lax.scan(
             ostep, init, q_arr.astype(jnp.float32), unroll=4
         )
-        return best, edge, jnp.int32(0), jnp.int32(0), jnp.zeros(
-            (q_arr.shape[0],), jnp.uint8
-        )
+        return best, edge, jmax, jnp.int32(0), ptrs
     if mode == "global":
         m0 = jnp.where(j_row0 == 0, 0.0, NEG)
         l0 = jnp.where(j_row0 == 0, o, NEG)
@@ -269,12 +288,24 @@ def banded_fill(mode, q_arr, t_ext, n, w_pad, params, emit_ptrs=False):
         # score and traceback-start tracking
         if mode == "fit":
             # bottom-row start scan over j in [0, n-1] (last column
-            # excluded); col0 is -inf so only j >= 1 lanes contribute
-            # (alignment.h:672-690). Score-only: no start state tracked.
-            vals = jnp.maximum(m_row, l_row)
-            fin = jnp.max(jnp.where(jcol <= n - 1, vals, NEG))
-            best = jnp.where(i == m, fin, best)
-            aux = aux_prev
+            # excluded); col0 is -inf so only j >= 1 lanes contribute.
+            # M is scanned before L so M wins score ties; within each
+            # matrix the smallest j wins (strict > scan,
+            # alignment.h:672-690)
+            lt_n = (jcol <= n - 1) & in_mat
+            mb = jnp.max(jnp.where(lt_n, m_row, NEG))
+            lb3 = jnp.max(jnp.where(lt_n, l_row, NEG))
+            use_l = lb3 > mb
+            fin = jnp.maximum(mb, lb3)
+            win_row = jnp.where(use_l, l_row, m_row)
+            hit = (win_row == fin) & lt_n
+            jarg = jnp.min(jnp.where(hit, jcol, 1 << 30)).astype(jnp.int32)
+            latch = i == m
+            best = jnp.where(latch, fin, best)
+            aux = (
+                jnp.where(latch, use_l.astype(jnp.int32), aux_prev[0]),
+                jnp.where(latch, jarg, aux_prev[1]),
+            )
         elif mode == "global":
             at_n = jcol == n
             ln_ = jnp.max(jnp.where(at_n, l_row, NEG))
@@ -577,11 +608,40 @@ def _walk_banded(q, t, ptrs, band, mode, state, i, j):
     """Host pointer walk in window coordinates: cell (i, j) lives at
     ptrs[i-1, j - i + band]. Same packed-byte decode as the full engines
     (engine/traceback.py); same emission quirks (local HOME emits its
-    diagonal pair then stops; global pads unconsumed prefixes)."""
+    diagonal pair then stops; global pads unconsumed prefixes; fit walks
+    while i > 0 and never emits the target prefix; overlap walks its
+    2-bit codes while j > 0)."""
     from aligntools_tpu.engine.traceback import _next_state
 
     r1, r2 = bytearray(), bytearray()
-    while i > 0 and j > 0:
+    if mode == "overlap":
+        # linear-gap codes: 0 LEFT, 1 DIAGONAL, 2 RIGHT
+        # (alignment.h:896-922); reaching row 0 with j > 0 is the
+        # reference's infinite-loop hazard -> fail fast
+        while j > 0:
+            k = j - i + band
+            if i <= 0 or not (0 <= k < ptrs.shape[1]):
+                raise RuntimeError("banded overlap traceback hit the "
+                                   "reference's unset-pointer hazard")
+            code = int(ptrs[i - 1, k])
+            if code == 0:  # LEFT
+                j -= 1
+                r1.append(_GAP)
+                r2.append(t[j])
+            elif code == 1:  # DIAGONAL
+                i -= 1
+                j -= 1
+                r1.append(q[i])
+                r2.append(t[j])
+            elif code == 2:  # RIGHT
+                i -= 1
+                r1.append(q[i])
+                r2.append(_GAP)
+            else:
+                raise RuntimeError("banded overlap traceback hit the "
+                                   "reference's unset-pointer hazard")
+        return bytes(reversed(r1)), bytes(reversed(r2))
+    while i > 0 and (j > 0 or mode == "fit"):
         k = j - i + band
         if not (0 <= k < ptrs.shape[1]):
             raise RuntimeError("banded traceback left the band")
@@ -628,14 +688,18 @@ def banded_align(
     full engine whenever the band covers the whole matrix, and match it in
     practice whenever the optimal path is comfortably inside the band (an
     out-of-band candidate can in principle win a tie the band never sees).
+    All modes with a traceback: global, local, fit (sans jump), overlap
+    (edit has none — alignment.h:291-315).
     """
     from aligntools_tpu.spec.engine import AlignResult
 
-    if mode not in ("global", "local"):
-        raise ValueError("banded traceback covers global and local modes")
+    if mode not in ("global", "local", "fit", "overlap"):
+        raise ValueError("banded traceback covers global/local/fit/overlap")
     m, n = len(q), len(t)
     if mode == "global" and abs(n - m) > band:
         raise ValueError("band cannot contain the end cell")
+    if mode == "fit" and m > n:
+        raise ValueError("first sequence must be shorter than the second")
     V = 2 * band + 1
     qa = np.frombuffer(q, np.uint8).astype(np.int32)
     t_ext = np.full(band + n + V + 1, -2, np.int32)
@@ -652,7 +716,18 @@ def banded_align(
     ptrs = np.asarray(ptrs)
     if mode == "global":
         state, i0, j0 = int(a), m, n
-    else:
+    elif mode == "fit":
+        if not np.isfinite(float(score)):
+            raise RuntimeError(
+                "fit: no finite traceback start in band (reference UB)"
+            )
+        # a = use_l (L beat M) -> walk states LOW=0 / MID=1
+        state, i0, j0 = (0 if int(a) else 1), m, int(b)
+    elif mode == "overlap":
+        state, i0, j0 = 0, m, int(a)
+        if j0 == 0:  # empty alignment (the j=0 zero-border start)
+            return AlignResult(float(score), b"", b""), float(edge)
+    else:  # local
         i0, j0 = int(a), int(b)
         state = 1  # MID
         if i0 == 0:

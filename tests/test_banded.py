@@ -121,9 +121,10 @@ def test_banded_edit():
         assert cert  # u=1 >= 0: the min-plus crossing bound certifies
 
 
-@pytest.mark.parametrize("mode", ["global", "local"])
+@pytest.mark.parametrize("mode", ["global", "local", "fit", "overlap"])
 def test_banded_rows_full_band(mode):
-    """Band covering the whole matrix: rows byte-identical to the spec."""
+    """Band covering the whole matrix: rows byte-identical to the spec
+    (all four traceback modes; edit has none)."""
     from aligntools_tpu.engine.banded import banded_align
     from aligntools_tpu.spec import engine as sp
 
@@ -132,6 +133,8 @@ def test_banded_rows_full_band(mode):
     for _ in range(12):
         q = bytes(rng.choice(ALPHA, int(rng.integers(2, 50))).tolist())
         t = bytes(rng.choice(ALPHA, int(rng.integers(2, 50))).tolist())
+        if mode == "fit" and len(q) > len(t):
+            q, t = t, q
         r, _ = banded_align(mode, q, t, max(len(q), len(t)), p)
         w = getattr(sp, f"spec_{mode}")(q, t, p)
         assert (r.score, r.row1, r.row2) == (w.score, w.row1, w.row2), (
@@ -139,7 +142,7 @@ def test_banded_rows_full_band(mode):
         )
 
 
-@pytest.mark.parametrize("mode", ["global", "local"])
+@pytest.mark.parametrize("mode", ["global", "local", "fit", "overlap"])
 def test_banded_rows_small_band(mode):
     """Similar pairs, band 48: score exact vs the full engine and the rows
     reconstruct the inputs (valid in-band optimal alignment)."""
@@ -150,6 +153,8 @@ def test_banded_rows_small_band(mode):
     p = AlignParams(match=2, mismatch=-2, gap_open=-4, gap_extend=-1)
     for _ in range(5):
         q, t = _similar_pair(rng, 300, 10, 4)
+        if mode == "fit" and len(q) > len(t):
+            q, t = t, q
         r, _ = banded_align(mode, q, t, 48, p)
         w = getattr(sp, f"spec_{mode}")(q, t, p)
         assert r.score == w.score
@@ -157,9 +162,28 @@ def test_banded_rows_small_band(mode):
         u2 = r.row2.replace(b"-", b"")
         if mode == "global":
             assert u1 == q and u2 == t
+        elif mode == "fit":
+            assert u1 == q and u2 in t  # whole query fits into the target
+        elif mode == "overlap":
+            # walk stops at column 0: emitted target is a prefix of t
+            assert u1 in q and u2 == t[: len(u2)]
         else:
             assert u1 in q and u2 in t
         assert len(r.row1) == len(r.row2)
+
+
+def test_banded_overlap_empty_alignment():
+    """The reference's j_max=0 case (bottom-row argmax <= 0): overlap
+    yields score 0 and two EMPTY rows (SURVEY micro: ACGT/AGT -> 0.000000
+    + empty rows with default params; alignment.h:950-959)."""
+    from aligntools_tpu.engine.banded import banded_align
+    from aligntools_tpu.spec.engine import spec_overlap
+
+    q, t = b"ACGT", b"AGT"
+    r, _ = banded_align("overlap", q, t, 8)
+    w = spec_overlap(q, t)
+    assert (r.score, r.row1, r.row2) == (w.score, w.row1, w.row2)
+    assert r.row1 == b"" and r.row2 == b""
 
 
 @pytest.mark.parametrize("mode", ["fit", "overlap"])
