@@ -203,8 +203,9 @@ def run_batch(args: list[str]) -> int:
     ap.add_argument("--cigar", action="store_true",
                     help="emit CIGAR strings instead of gapped rows")
     ap.add_argument("--band", type=int, default=None, metavar="W",
-                    help="banded fill (global/local scores only): O(m*W) "
-                         "work; exact when the optimal path stays in band")
+                    help="banded fill, O(m*W) work: full rows (or scores "
+                         "with --scores-only); exact when the optimal "
+                         "path stays in band")
     ap.add_argument("--sharded", action="store_true",
                     help="data-parallel over all devices (scores only)")
     ap.add_argument("--chunk-size", type=int, default=512)

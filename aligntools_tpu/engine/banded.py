@@ -691,46 +691,73 @@ def banded_align(
     All modes with a traceback: global, local, fit (sans jump), overlap
     (edit has none — alignment.h:291-315).
     """
+    results, edges = banded_align_batch(mode, [(q, t)], band, params)
+    return results[0], float(edges[0])
+
+
+def banded_align_batch(
+    mode: str,
+    pairs,
+    band: int,
+    params: AlignParams = AlignParams(),
+):
+    """Batched banded alignments WITH rows: one vmapped pointer-emitting
+    fill, then per-pair host walks over the (B, m_pad, V) window slabs.
+    Returns ([AlignResult], edge_best array). Same in-band semantics as
+    :func:`banded_align`."""
     from aligntools_tpu.spec.engine import AlignResult
 
     if mode not in ("global", "local", "fit", "overlap"):
         raise ValueError("banded traceback covers global/local/fit/overlap")
-    m, n = len(q), len(t)
-    if mode == "global" and abs(n - m) > band:
-        raise ValueError("band cannot contain the end cell")
-    if mode == "fit" and m > n:
-        raise ValueError("first sequence must be shorter than the second")
+    B = len(pairs)
+    m_pad = max(len(q) for q, _ in pairs)
+    n_max = max(len(t) for _, t in pairs)
     V = 2 * band + 1
-    qa = np.frombuffer(q, np.uint8).astype(np.int32)
-    t_ext = np.full(band + n + V + 1, -2, np.int32)
-    t_ext[band : band + n] = np.frombuffer(t, np.uint8)
-    pv = np.array(
-        [params.match, params.mismatch, params.gap_open, params.gap_extend,
-         params.jump, m, 0, 0],
-        np.float32,
-    )
-    score, edge, a, b, ptrs = banded_fill(
-        mode, jnp.asarray(qa), jnp.asarray(t_ext), jnp.int32(n), band,
-        jnp.asarray(pv), True,
-    )
+    qs = np.full((B, m_pad), -1, np.int32)
+    te = np.full((B, band + n_max + V + 1), -2, np.int32)
+    ns = np.zeros(B, np.int32)
+    ps = np.zeros((B, 8), np.float32)
+    ps[:, :4] = [params.match, params.mismatch, params.gap_open,
+                 params.gap_extend]
+    for k, (q, t) in enumerate(pairs):
+        if mode == "global" and abs(len(t) - len(q)) > band:
+            raise ValueError("band cannot contain the end cell")
+        if mode == "fit" and len(q) > len(t):
+            raise ValueError("first sequence must be shorter than the second")
+        qs[k, : len(q)] = np.frombuffer(q, np.uint8)
+        te[k, band : band + len(t)] = np.frombuffer(t, np.uint8)
+        ns[k] = len(t)
+        ps[k, 5] = len(q)
+    score, edge, a, b, ptrs = jax.jit(
+        jax.vmap(
+            lambda q, t, n, p: banded_fill(mode, q, t, n, band, p, True)
+        ),
+    )(jnp.asarray(qs), jnp.asarray(te), jnp.asarray(ns), jnp.asarray(ps))
+    score, a, b = np.asarray(score), np.asarray(a), np.asarray(b)
     ptrs = np.asarray(ptrs)
-    if mode == "global":
-        state, i0, j0 = int(a), m, n
-    elif mode == "fit":
-        if not np.isfinite(float(score)):
-            raise RuntimeError(
-                "fit: no finite traceback start in band (reference UB)"
-            )
-        # a = use_l (L beat M) -> walk states LOW=0 / MID=1
-        state, i0, j0 = (0 if int(a) else 1), m, int(b)
-    elif mode == "overlap":
-        state, i0, j0 = 0, m, int(a)
-        if j0 == 0:  # empty alignment (the j=0 zero-border start)
-            return AlignResult(float(score), b"", b""), float(edge)
-    else:  # local
-        i0, j0 = int(a), int(b)
-        state = 1  # MID
-        if i0 == 0:
-            return AlignResult(float(score), b"", b""), float(edge)
-    r1, r2 = _walk_banded(q, t, ptrs, band, mode, state, i0, j0)
-    return AlignResult(float(score), r1, r2), float(edge)
+    out = []
+    for k, (q, t) in enumerate(pairs):
+        m, sk = len(q), float(score[k])
+        if mode == "global":
+            state, i0, j0 = int(a[k]), m, len(t)
+        elif mode == "fit":
+            if not np.isfinite(sk):
+                raise RuntimeError(
+                    "fit: no finite traceback start in band (reference UB)"
+                )
+            # a = use_l (L beat M) -> walk states LOW=0 / MID=1
+            state, i0, j0 = (0 if int(a[k]) else 1), m, int(b[k])
+        elif mode == "overlap":
+            state, i0, j0 = 0, m, int(a[k])
+            if j0 == 0:  # empty alignment (the j=0 zero-border start)
+                out.append(AlignResult(sk, b"", b""))
+                continue
+        else:  # local
+            i0, j0 = int(a[k]), int(b[k])
+            state = 1  # MID
+            if i0 == 0:
+                out.append(AlignResult(sk, b"", b""))
+                continue
+        r1, r2 = _walk_banded(q, t, ptrs[k], band, mode, state, i0, j0)
+        out.append(AlignResult(sk, r1, r2))
+    return out, np.asarray(edge, np.float64)

@@ -127,13 +127,22 @@ def run_pipeline(
                     vals = batch_scores_sharded(mode, pairs, params)
                     results = list(vals)
                 elif band is not None:
-                    from aligntools_tpu.engine.banded import (
-                        banded_batch_scores,
-                    )
+                    if scores_only or mode == "edit":
+                        from aligntools_tpu.engine.banded import (
+                            banded_batch_scores,
+                        )
 
-                    results = list(
-                        banded_batch_scores(mode, pairs, band, params)[0]
-                    )
+                        results = list(
+                            banded_batch_scores(mode, pairs, band, params)[0]
+                        )
+                    else:  # banded full rows (all modes with a traceback)
+                        from aligntools_tpu.engine.banded import (
+                            banded_align_batch,
+                        )
+
+                        results = banded_align_batch(
+                            mode, pairs, band, params
+                        )[0]
                 elif mode == "edit" or scores_only:
                     results = list(
                         batch_scores(
@@ -149,7 +158,7 @@ def run_pipeline(
                 name2 = b.name.decode("latin-1")
                 if mode == "edit":
                     lines.append(f"{name1}\t{name2}\t{int(r)}")
-                elif scores_only or sharded or band is not None:
+                elif scores_only or sharded:
                     score = r if isinstance(r, float) else float(r)
                     lines.append(f"{name1}\t{name2}\t{score:.6f}")
                 elif cigar:

@@ -230,9 +230,21 @@ def test_serve_loop(tmp_path):
 def test_batch_cli_band(tmp_path, capsys):
     path, pairs, _ = _make_fasta(tmp_path, 4, seed=29)
     band = max(max(len(q), len(t)) for q, t in pairs)  # full band: exact
+    # full rows by default (banded_align_batch)
     rc = main(["aligntools", "batch", "local", "--band", str(band), path])
     out = capsys.readouterr().out.strip().splitlines()
     assert rc == 0
     p = AlignParams()
     for k, ln in enumerate(out):
+        f = ln.split("\t")
+        w = spec.spec_local(*pairs[k], p)
+        assert float(f[2]) == w.score
+        assert f[3].encode() == w.row1 and f[4].encode() == w.row2
+    # --scores-only keeps the TSV-of-scores surface
+    rc = main(["aligntools", "batch", "local", "--band", str(band),
+               "--scores-only", path])
+    out = capsys.readouterr().out.strip().splitlines()
+    assert rc == 0
+    for k, ln in enumerate(out):
+        assert len(ln.split("\t")) == 3
         assert float(ln.split("\t")[2]) == spec.spec_local(*pairs[k], p).score
