@@ -19,3 +19,13 @@ print("overlap:", r.score)
 
 d = align_pair("edit", b"kitten", b"sitting", AlignParams(mismatch=1))
 print("edit distance:", d)
+
+# banded: O(m*W) work for similar pairs; full rows, certificate-driven
+# band doubling for provably exact scores (engine/banded.py docstring)
+from aligntools_tpu.engine.banded import banded_align, banded_score_auto
+
+r, edge = banded_align("global", b"GATTACATTTT", b"GATCACATTAT", band=4, params=p)
+print("banded: ", r.score, r.row1.decode(), r.row2.decode())
+score, band, certified = banded_score_auto("global", b"GATTACA" * 40,
+                                           b"GATCACA" * 40, p)
+print(f"banded auto: score={score} band={band} certified={certified}")
