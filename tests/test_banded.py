@@ -262,3 +262,19 @@ def test_banded_batch_end_cell_check_edit():
         banded_batch_scores("edit", pairs, 4, AlignParams())
     with pytest.raises(ValueError):
         banded_batch_scores("global", pairs, 4, AlignParams())
+
+
+def test_banded_fit_l_start():
+    """Fit whose optimal alignment ends in a query-consuming gap: the
+    bottom-row scan must pick the L matrix (use_l) and start the walk in
+    LOW — rarely hit by random pairs (alignment.h:681-688)."""
+    from aligntools_tpu.engine.banded import banded_align
+    from aligntools_tpu.spec.engine import spec_fit
+
+    p = AlignParams(match=2, mismatch=-10, gap_open=-1, gap_extend=-1)
+    q = b"ACGTACGTXX"  # trailing XX absent from t -> cheaper as a gap
+    t = b"TTTTACGTACGTTTTT"
+    w = spec_fit(q, t, p)
+    assert w.row2.endswith(b"--")  # the case under test
+    r, _ = banded_align("fit", q, t, max(len(q), len(t)), p)
+    assert (r.score, r.row1, r.row2) == (w.score, w.row1, w.row2)
