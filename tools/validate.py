@@ -190,6 +190,31 @@ def main():
                     mode, pi, with_sites,
                 )
         print(f"{mode}: OK ({n_per} cases)", flush=True)
+    # banded engine at FULL band (band >= max(m, n) covers the whole
+    # matrix, so rows must be byte-identical to the spec — including all
+    # window-coordinate tie-breaks); tie-heavy binary alphabet included
+    from aligntools_tpu.engine.banded import banded_align_batch
+
+    rng2 = np.random.default_rng(77)
+    for mode in ("global", "local", "fit", "overlap"):
+        p = AlignParams(match=2, mismatch=-2, gap_open=-4, gap_extend=-1)
+        prs = []
+        for k in range(max(20, n_per // 4)):
+            kind = kinds[k % len(kinds)]
+            q = gen_seq(rng2, kind, 1, 80)
+            t = gen_seq(rng2, kind, 1, 100)
+            if mode == "fit" and len(q) > len(t):
+                q, t = t, q
+            prs.append((q, t))
+        band = max(max(len(q), len(t)) for q, t in prs)
+        res, _ = banded_align_batch(mode, prs, band, p)
+        for (q, t), r in zip(prs, res):
+            w = (spec.spec_fit(q, t, p) if mode == "fit"
+                 else getattr(spec, f"spec_{mode}")(q, t, p))
+            assert (r.score, r.row1, r.row2) == (
+                w.score, w.row1, w.row2,
+            ), ("banded", mode, q, t)
+        print(f"banded {mode} rows: OK ({len(prs)} cases)", flush=True)
     print(
         f"VALIDATION PASSED: {stats['cases']} reference comparisons, "
         f"{stats['ref_crash']} reference crashes skipped (its strrev "
