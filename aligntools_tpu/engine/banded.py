@@ -460,11 +460,15 @@ def banded_tile_b(B: int, m_pad: int, V_pad: int) -> int:
     return t
 
 
-def _banded_scores_pallas(mode, qs, te, ns, ms, band, params):
-    """Score the padded batch on the Pallas banded kernel (bit-identical
-    to the vmapped XLA fill — tests/test_banded.py)."""
+def _banded_scores_pallas(mode, qs, te, ns, ms, band, params, emit=False):
+    """Run the padded batch on the Pallas banded kernel (bit-identical
+    to the vmapped XLA fill — tests/test_banded.py). Score-only returns
+    (best, edge); with ``emit`` also (a, b, ptrs) — the per-mode
+    traceback-start scalars and the (B, m_pad, V_pad) window-coordinate
+    byte pointer slabs (the host walk reads lanes k < V only)."""
     from aligntools_tpu.ops.pallas_banded import (
         SROW,
+        banded_pallas_full,
         banded_pallas_scores,
         build_t_win,
     )
@@ -488,21 +492,34 @@ def _banded_scores_pallas(mode, qs, te, ns, ms, band, params):
         [[params.match, params.mismatch, params.gap_open,
           params.gap_extend, params.jump, 0, 0, 0]], np.float32
     )
-    chunk = max(tile_b, PALLAS_SLAB_BYTES // max(m_pad * V_pad * 4, 1))
+    cell_bytes = m_pad * V_pad * (5 if emit else 4)
+    chunk = max(tile_b, PALLAS_SLAB_BYTES // max(cell_bytes, 1))
     chunk = max(tile_b, chunk // tile_b * tile_b)
     best = np.empty(B_pad, np.float64)
     edge = np.empty(B_pad, np.float64)
+    a = np.empty(B_pad, np.float64)
+    bb = np.empty(B_pad, np.float64)
+    ptrs = np.empty((B, m_pad, V_pad), np.uint8) if emit else None
     for lo in range(0, B_pad, chunk):
         hi = min(lo + chunk, B_pad)
         t_win = build_t_win(jnp.asarray(te_p[lo:hi]), m_pad, V_pad)
-        b, eg = banded_pallas_scores(
+        args = (
             mode, band, m_pad, interpret, tile_b,
             jnp.asarray(qs_p[lo:hi]), t_win,
             jnp.asarray(ns_p[lo:hi]), jnp.asarray(ms_p[lo:hi]),
             jnp.asarray(pv),
         )
-        best[lo:hi] = np.asarray(b, np.float64)
+        if emit:
+            b_, eg, a_, bb_, pt = banded_pallas_full(*args)
+            a[lo:hi] = np.asarray(a_, np.float64)
+            bb[lo:hi] = np.asarray(bb_, np.float64)
+            ptrs[lo:min(hi, B)] = np.asarray(pt)[: max(0, min(hi, B) - lo)]
+        else:
+            b_, eg = banded_pallas_scores(*args)
+        best[lo:hi] = np.asarray(b_, np.float64)
         edge[lo:hi] = np.asarray(eg, np.float64)
+    if emit:
+        return best[:B], edge[:B], a[:B], bb[:B], ptrs
     return best[:B], edge[:B]
 
 
@@ -700,15 +717,19 @@ def banded_align_batch(
     pairs,
     band: int,
     params: AlignParams = AlignParams(),
+    engine: str = "auto",
 ):
-    """Batched banded alignments WITH rows: one vmapped pointer-emitting
-    fill, then per-pair host walks over the (B, m_pad, V) window slabs.
-    Returns ([AlignResult], edge_best array). Same in-band semantics as
-    :func:`banded_align`."""
+    """Batched banded alignments WITH rows: one pointer-emitting fill
+    (vmapped XLA or the Pallas window kernel — same crossover routing as
+    banded_batch_scores), then per-pair host walks over the
+    (B, m_pad, V) window slabs. Returns ([AlignResult], edge_best
+    array). Same in-band semantics as :func:`banded_align`."""
     from aligntools_tpu.spec.engine import AlignResult
 
     if mode not in ("global", "local", "fit", "overlap"):
         raise ValueError("banded traceback covers global/local/fit/overlap")
+    if engine not in ("auto", "xla", "pallas"):
+        raise ValueError(f"unknown banded engine {engine!r}")
     B = len(pairs)
     m_pad = max(len(q) for q, _ in pairs)
     n_max = max(len(t) for _, t in pairs)
@@ -716,6 +737,7 @@ def banded_align_batch(
     qs = np.full((B, m_pad), -1, np.int32)
     te = np.full((B, band + n_max + V + 1), -2, np.int32)
     ns = np.zeros(B, np.int32)
+    ms = np.zeros(B, np.int32)
     ps = np.zeros((B, 8), np.float32)
     ps[:, :4] = [params.match, params.mismatch, params.gap_open,
                  params.gap_extend]
@@ -727,14 +749,27 @@ def banded_align_batch(
         qs[k, : len(q)] = np.frombuffer(q, np.uint8)
         te[k, band : band + len(t)] = np.frombuffer(t, np.uint8)
         ns[k] = len(t)
+        ms[k] = len(q)
         ps[k, 5] = len(q)
-    score, edge, a, b, ptrs = jax.jit(
-        jax.vmap(
-            lambda q, t, n, p: banded_fill(mode, q, t, n, band, p, True)
-        ),
-    )(jnp.asarray(qs), jnp.asarray(te), jnp.asarray(ns), jnp.asarray(ps))
-    score, a, b = np.asarray(score), np.asarray(a), np.asarray(b)
-    ptrs = np.asarray(ptrs)
+    if engine == "auto" and jax.default_backend() == "tpu":
+        from aligntools_tpu.engine.autotune import table
+
+        t_ = table()
+        if B < t_.get("banded_bmin", t_["bmin"]):
+            engine = "pallas"
+    if engine == "pallas":
+        score, edge, a, b, ptrs = _banded_scores_pallas(
+            mode, qs, te, ns, ms, band, params, emit=True
+        )
+    else:
+        score, edge, a, b, ptrs = jax.jit(
+            jax.vmap(
+                lambda q, t, n, p: banded_fill(mode, q, t, n, band, p, True)
+            ),
+        )(jnp.asarray(qs), jnp.asarray(te), jnp.asarray(ns),
+          jnp.asarray(ps))
+        score, a, b = np.asarray(score), np.asarray(a), np.asarray(b)
+        ptrs = np.asarray(ptrs)
     out = []
     for k, (q, t) in enumerate(pairs):
         m, sk = len(q), float(score[k])

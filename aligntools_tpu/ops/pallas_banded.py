@@ -58,14 +58,23 @@ def _shr(x, col):
     return jnp.concatenate([col, x[:, :-1]], axis=1)
 
 
-def _banded_kernel(mode, w, V, V_pad, m_pad, tile_b,
+def _banded_kernel(mode, w, V, V_pad, m_pad, tile_b, emit,
                    q_ref, tw_ref, n_ref, m_ref, p_ref,
-                   best_ref, edge_ref, rows_ref, acc_ref):
+                   best_ref, edge_ref, *rest):
     """One (batch_tile, row_group) grid step; mirrors
     engine/banded.py banded_fill step-for-step (see that docstring for
     the border rationale). rows_ref (3, tile_b, V_pad) carries M/L/U
-    (edit/overlap use row 0 only); acc_ref (2, tile_b, 1) carries
-    (best, edge)."""
+    (edit/overlap use row 0 only); acc_ref (2 or 4, tile_b, 1) carries
+    (best, edge[, a, b]). With ``emit``: also writes the byte pointer
+    codes (banded_fill's layout — pm 3 bits incl. HOME=4/unset=7, pL at
+    bit 3, pU at bit 4; overlap's 2-bit codes) into ptr_ref
+    (tile_b, SROW, V_pad) and tracks the per-mode traceback start in
+    acc rows 2/3 (global: state; local: i_max/j_max; fit: use_l/j_max;
+    overlap: j_max)."""
+    if emit:
+        a_ref, b_ref, ptr_ref, rows_ref, acc_ref = rest
+    else:
+        rows_ref, acc_ref = rest
     c = pl.program_id(1)
     match, mis = p_ref[0, 0], p_ref[0, 1]
     o, e = p_ref[0, 2], p_ref[0, 3]
@@ -112,6 +121,9 @@ def _banded_kernel(mode, w, V, V_pad, m_pad, tile_b,
             rows_ref[2] = jnp.where(valid0, 0.0, NEG)
         acc_ref[0] = zcol + bad
         acc_ref[1] = zcol + bad
+        if emit:
+            acc_ref[2] = zcol
+            acc_ref[3] = zcol
 
     def row_step(r):
         i = c * SROW + r + 1
@@ -167,14 +179,31 @@ def _banded_kernel(mode, w, V, V_pad, m_pad, tile_b,
             cd = jnp.where(in_win, cd, NEG)
             row = _cummax_lanes(cd) + o * jf
             row = jnp.where(in_mat, row, NEG)
-            fin = jnp.maximum(
-                jnp.max(
-                    jnp.where(jcol <= n_col - 1, row, NEG),
-                    axis=1, keepdims=True,
-                ),
-                0.0,
+            latch = i == m_col
+            rowmax = jnp.max(
+                jnp.where(jcol <= n_col - 1, row, NEG),
+                axis=1, keepdims=True,
             )
-            best = jnp.where(i == m_col, fin, best)
+            fin = jnp.maximum(rowmax, 0.0)
+            best = jnp.where(latch, fin, best)
+            if emit:
+                # 2-bit codes, arg order LEFT, DIAGONAL, RIGHT
+                # (engine/banded.py ostep)
+                lh = _shr(row, zcol + NEG)
+                lh = jnp.where(at_j0_diag, 0.0, lh)  # M(i, 0) = 0
+                code = jnp.where(
+                    lh + o >= row, 0,
+                    jnp.where(diag + sub >= vert + o, 1, 2),
+                )
+                code = jnp.where(row > NEG, code, 3)
+                ptr_ref[:, r, :] = code.astype(jnp.uint8)
+                hit = (row == rowmax) & (jcol <= n_col - 1) & in_mat
+                jarg = jnp.min(
+                    jnp.where(hit, jf, jnp.float32(1 << 30)),
+                    axis=1, keepdims=True,
+                )
+                jarg = jnp.where(rowmax > 0.0, jarg, 0.0)
+                acc_ref[2] = jnp.where(latch, jarg, acc_ref[2])
             edge = jnp.maximum(
                 edge, jnp.maximum(row[:, 0:1], row[:, V - 1 : V])
             )
@@ -213,11 +242,13 @@ def _banded_kernel(mode, w, V, V_pad, m_pad, tile_b,
         cand_l = diag_l + sub
         cand_m = diag_m + sub
         cand_u = diag_u + sub
-        m_row = jnp.maximum(jnp.maximum(cand_l, cand_m), cand_u)
+        best3 = jnp.maximum(jnp.maximum(cand_l, cand_m), cand_u)
+        m_row = best3
         if mode == "local":
             m_row = jnp.maximum(m_row, 0.0)
         m_row = jnp.where(in_mat, m_row, NEG)
-        l_row = jnp.maximum(vert_l + e, vert_m + o)
+        la_, lb_ = vert_l + e, vert_m + o
+        l_row = jnp.maximum(la_, lb_)
         l_row = jnp.where(in_mat, l_row, NEG)
         cand = _shr(m_row, zcol + NEG) + o - e * jf
         if mode == "local":
@@ -231,13 +262,42 @@ def _banded_kernel(mode, w, V, V_pad, m_pad, tile_b,
             u_row = jnp.maximum(u_row, 0.0)
         u_row = u_row + e * jf
         u_row = jnp.where(in_mat, u_row, NEG)
-        if mode == "fit":
-            vals = jnp.maximum(m_row, l_row)
-            fin = jnp.max(
-                jnp.where(jcol <= n_col - 1, vals, NEG),
-                axis=1, keepdims=True,
+        if emit:
+            # byte pointer codes, banded_fill's exact layout/tie-breaks
+            pm = jnp.where(
+                cand_l >= best3, 0,
+                jnp.where(cand_m >= best3, 1, 2),
             )
-            best = jnp.where(i == m_col, fin, best)
+            if mode == "local":
+                pm = jnp.where(best3 >= 0.0, pm, 4)  # HOME: LAST max5 arg
+            pm = jnp.where(m_row > NEG, pm, 7)
+            plb = jnp.where(la_ >= lb_, 0, 1 << 3)
+            mh = _shr(m_row, zcol + NEG)
+            uh = _shr(u_row, zcol + NEG)
+            if mode == "local":
+                mh = jnp.where(at_j0_diag, 0.0, mh)
+                uh = jnp.where(at_j0_diag, 0.0, uh)
+            pub = jnp.where(mh + o >= uh + e, 0, 1 << 4)
+            ptr_ref[:, r, :] = (pm | plb | pub).astype(jnp.uint8)
+        BIG = jnp.float32(1 << 30)
+        latch = i == m_col
+        if mode == "fit":
+            lt_n = jcol <= n_col - 1
+            mb = jnp.max(jnp.where(lt_n, m_row, NEG), axis=1, keepdims=True)
+            lb3 = jnp.max(jnp.where(lt_n, l_row, NEG), axis=1, keepdims=True)
+            fin = jnp.maximum(mb, lb3)
+            best = jnp.where(latch, fin, best)
+            if emit:
+                # M beats L on ties; smallest j within the winning matrix
+                use_l = lb3 > mb
+                win_row = jnp.where(use_l, l_row, m_row)
+                hit = (win_row == fin) & lt_n & in_mat
+                jarg = jnp.min(jnp.where(hit, jf, BIG), axis=1,
+                               keepdims=True)
+                acc_ref[2] = jnp.where(
+                    latch, use_l.astype(jnp.float32), acc_ref[2]
+                )
+                acc_ref[3] = jnp.where(latch, jarg, acc_ref[3])
         elif mode == "global":
             at_n = jcol == n_col
             ln_ = jnp.max(jnp.where(at_n, l_row, NEG), axis=1,
@@ -247,9 +307,22 @@ def _banded_kernel(mode, w, V, V_pad, m_pad, tile_b,
             un_ = jnp.max(jnp.where(at_n, u_row, NEG), axis=1,
                           keepdims=True)
             fin = jnp.maximum(jnp.maximum(ln_, mn_), un_)
-            best = jnp.where(i == m_col, fin, best)
-        else:  # local: running max of M
+            best = jnp.where(latch, fin, best)
+            if emit:
+                st = jnp.where(
+                    (ln_ >= mn_) & (ln_ >= un_), 0.0,
+                    jnp.where(mn_ >= un_, 1.0, 2.0),
+                )
+                acc_ref[2] = jnp.where(latch, st, acc_ref[2])
+        else:  # local: running max of M, row-major strict >
             rowmax = jnp.max(m_row, axis=1, keepdims=True)
+            if emit:
+                upd = rowmax > best
+                hit = (m_row == rowmax) & in_mat
+                jarg = jnp.min(jnp.where(hit, jf, BIG), axis=1,
+                               keepdims=True)
+                acc_ref[2] = jnp.where(upd, i_f + zcol, acc_ref[2])
+                acc_ref[3] = jnp.where(upd, jarg, acc_ref[3])
             best = jnp.maximum(best, rowmax)
         edge = jnp.maximum(
             edge, jnp.maximum(m_row[:, 0:1], m_row[:, V - 1 : V])
@@ -261,6 +334,9 @@ def _banded_kernel(mode, w, V, V_pad, m_pad, tile_b,
         row_step(r)
     best_ref[:, :] = acc_ref[0]
     edge_ref[:, :] = acc_ref[1]
+    if emit:
+        a_ref[:, :] = acc_ref[2]
+        b_ref[:, :] = acc_ref[3]
 
 
 def build_t_win(te, m_pad, V_pad):
@@ -284,24 +360,67 @@ def banded_pallas_scores(mode, w, m_pad, interpret, tile_b,
     qs (B, m_pad) i32; t_win from :func:`build_t_win`; ns/ms (B, 1) i32;
     params (1, 8) f32 [match, mis, o, e, ...]. Returns (best (B,),
     edge (B,)) — bit-identical to engine/banded.py banded_fill."""
+    out = _banded_call(mode, w, m_pad, interpret, tile_b, False,
+                       qs, t_win, ns, ms, params)
+    return out[0][:, 0], out[1][:, 0]
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4))
+def banded_pallas_full(mode, w, m_pad, interpret, tile_b,
+                       qs, t_win, ns, ms, params):
+    """Pointer-emitting banded fill. Returns (best (B,), edge (B,),
+    a (B,), b (B,), ptrs (B, m_pad, V_pad) uint8) — scores, per-mode
+    traceback-start scalars, and banded_fill's byte pointer layout in
+    window coordinates (pad lanes k >= V hold garbage; the walk never
+    reads them). Modes: global/local/fit/overlap (edit has no
+    traceback)."""
+    assert mode != "edit", "edit mode has no traceback"
+    best, edge, a, b, ptrs = _banded_call(
+        mode, w, m_pad, interpret, tile_b, True, qs, t_win, ns, ms, params
+    )
+    return best[:, 0], edge[:, 0], a[:, 0], b[:, 0], ptrs
+
+
+def _banded_call(mode, w, m_pad, interpret, tile_b, emit,
+                 qs, t_win, ns, ms, params):
     V = 2 * w + 1
     V_pad = t_win.shape[2]
     B = qs.shape[0]
     assert m_pad % SROW == 0 and B % tile_b == 0
     kern = functools.partial(
-        _banded_kernel, mode, w, V, V_pad, m_pad, tile_b
+        _banded_kernel, mode, w, V, V_pad, m_pad, tile_b, emit
     )
     grid = (B // tile_b, m_pad // SROW)
     kwargs = {}
     if not interpret:
         # wide batch tiles: scratch rows + double-buffered t_win blocks +
-        # the resident q tile can exceed Mosaic's 16 MiB default scoped-
-        # VMEM limit; size it to the footprint (v5e has 128 MiB)
+        # the resident q tile (+ the ptr output block when emitting) can
+        # exceed Mosaic's 16 MiB default scoped-VMEM limit; size it to
+        # the footprint (v5e has 128 MiB)
         need = 4 * tile_b * (3 * V_pad + 4 * SROW * V_pad + m_pad)
+        if emit:
+            need += 2 * tile_b * SROW * V_pad
         kwargs["compiler_params"] = pltpu.CompilerParams(
             vmem_limit_bytes=int(min(100 * 2**20, max(16 * 2**20, 2 * need))),
         )
-    best, edge = pl.pallas_call(
+    scalar = pl.BlockSpec((tile_b, 1), lambda g, c: (g, 0),
+                          memory_space=pltpu.VMEM)
+    out_specs = [scalar, scalar]
+    out_shape = [
+        jax.ShapeDtypeStruct((B, 1), jnp.float32),
+        jax.ShapeDtypeStruct((B, 1), jnp.float32),
+    ]
+    if emit:
+        out_specs += [scalar, scalar, pl.BlockSpec(
+            (tile_b, SROW, V_pad), lambda g, c: (g, c, 0),
+            memory_space=pltpu.VMEM,
+        )]
+        out_shape += [
+            jax.ShapeDtypeStruct((B, 1), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1), jnp.float32),
+            jax.ShapeDtypeStruct((B, m_pad, V_pad), jnp.uint8),
+        ]
+    return pl.pallas_call(
         kern,
         grid=grid,
         in_specs=[
@@ -316,21 +435,12 @@ def banded_pallas_scores(mode, w, m_pad, interpret, tile_b,
             pl.BlockSpec((1, 8), lambda g, c: (0, 0),
                          memory_space=pltpu.SMEM),
         ],
-        out_specs=(
-            pl.BlockSpec((tile_b, 1), lambda g, c: (g, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_b, 1), lambda g, c: (g, 0),
-                         memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((B, 1), jnp.float32),
-            jax.ShapeDtypeStruct((B, 1), jnp.float32),
-        ),
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
         scratch_shapes=[
             pltpu.VMEM((3, tile_b, V_pad), jnp.float32),
-            pltpu.VMEM((2, tile_b, 1), jnp.float32),
+            pltpu.VMEM((4 if emit else 2, tile_b, 1), jnp.float32),
         ],
         interpret=interpret,
         **kwargs,
     )(qs, t_win, ns, ms, params)
-    return best[:, 0], edge[:, 0]

@@ -278,3 +278,31 @@ def test_banded_fit_l_start():
     assert w.row2.endswith(b"--")  # the case under test
     r, _ = banded_align("fit", q, t, max(len(q), len(t)), p)
     assert (r.score, r.row1, r.row2) == (w.score, w.row1, w.row2)
+
+
+@pytest.mark.parametrize("mode", ["global", "local", "fit", "overlap"])
+def test_banded_full_pallas_matches_xla(mode):
+    """Pointer-emitting Pallas banded kernel (interpret mode): scores AND
+    rows identical to the XLA banded fill + walk, tie-heavy mix."""
+    from aligntools_tpu.engine.banded import banded_align_batch
+
+    rng = np.random.default_rng(311)
+    p = AlignParams(match=2, mismatch=-2, gap_open=-4, gap_extend=-1)
+    pairs = []
+    for k in range(9):
+        alpha = [65, 66] if k % 3 else ALPHA  # tie-heavy binary mixed in
+        q = bytes(rng.choice(alpha, int(rng.integers(3, 90))).tolist())
+        t = bytes(rng.choice(alpha, int(rng.integers(3, 110))).tolist())
+        if mode == "global":
+            q, t = q, q[: max(1, len(q) - 5)]  # keep end cell in band
+        if mode == "fit" and len(q) > len(t):
+            q, t = t, q
+        pairs.append((q, t))
+    band = 32
+    want, we = banded_align_batch(mode, pairs, band, p, engine="xla")
+    got, ge = banded_align_batch(mode, pairs, band, p, engine="pallas")
+    assert np.array_equal(ge, we), mode
+    for k, (w, g) in enumerate(zip(want, got)):
+        assert (g.score, g.row1, g.row2) == (w.score, w.row1, w.row2), (
+            mode, k, pairs[k],
+        )

@@ -267,6 +267,19 @@ def main():
             assert np.array_equal(got, full), ("banded-vs-full", mode)
         print(f"banded-pallas {mode} W=64: OK", flush=True)
 
+    # 7. pointer-emitting banded Pallas kernel on hardware (uint8 window
+    # slabs + start scalars): rows byte-identical to the XLA fill + walk
+    from aligntools_tpu.engine.banded import banded_align_batch
+
+    for mode in ("global", "local", "fit", "overlap"):
+        want = banded_align_batch(mode, bp, 64, p, engine="xla")[0]
+        got = banded_align_batch(mode, bp, 64, p, engine="pallas")[0]
+        for k, (w, g) in enumerate(zip(want, got)):
+            assert (g.score, g.row1, g.row2) == (
+                w.score, w.row1, w.row2,
+            ), ("banded-ptr", mode, k)
+        print(f"banded-ptr {mode} W=64 rows: OK", flush=True)
+
     print("TPU CHECK PASSED", flush=True)
 
 
