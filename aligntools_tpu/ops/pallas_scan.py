@@ -42,25 +42,73 @@ def _shift_in(x, col):
     return jnp.concatenate([col, x[:, :-1]], axis=1)
 
 
-def _cummax_lanes(v):
-    """Inclusive running max along lanes (Hillis-Steele doubling)."""
-    tb, w = v.shape
-    k = 1
+def _scan_pass(v, k, op, sent):
+    """One Hillis-Steele pass: combine with self shifted right by k lanes."""
+    pad = jnp.full((v.shape[0], k), sent, v.dtype)
+    return op(v, jnp.concatenate([pad, v[:, :-k]], axis=1))
+
+
+def _scan_tail(v, k, w, op, sent):
+    """Unconditional doubling passes k, 2k, ... up to width w."""
     while k < w:
-        pad = jnp.full((tb, k), NEG, v.dtype)
-        v = jnp.maximum(v, jnp.concatenate([pad, v[:, :-k]], axis=1))
+        v = _scan_pass(v, k, op, sent)
         k *= 2
     return v
+
+
+# Unconditional doubling passes before the first convergence check
+# (window 2^_ADAPTIVE_PRE). Kill switch: ALIGNTOOLS_ADAPTIVE_SCAN=0
+# falls back to the full log2(w)-pass scan.
+_ADAPTIVE_PRE = 3
+_ADAPTIVE = __import__("os").environ.get("ALIGNTOOLS_ADAPTIVE_SCAN", "1") != "0"
+
+
+def _adaptive_scan(v, op, sent):
+    """Prefix scan along lanes with a data-dependent early exit.
+
+    The plain Hillis-Steele scan always pays log2(w) full-width passes.
+    In the DP rows these scans resolve gap chains, and the normalized
+    candidates carry a negative slope (-e*j etc.), so on real inputs the
+    running max/min is almost always achieved within a few lanes. This
+    runs _ADAPTIVE_PRE doubling passes unconditionally, then one more
+    pass at the current window k: if that pass changes NO lane, then
+    v[j] = op over the trailing 2k-window AND v[j] "absorbs" v[j-k]
+    (max(v[j], v[j-k]) == v[j]); induction along the chain j, j-k,
+    j-2k, ... gives that v already equals the full prefix scan, and the
+    remaining passes are skipped (lax.cond). The early exit fires only
+    at the fixpoint, so exactness never depends on the data; the worst
+    case costs one extra reduction over the plain scan.
+    """
+    tb, w = v.shape
+    k, done = 1, 0
+    while k < w and done < _ADAPTIVE_PRE:
+        v = _scan_pass(v, k, op, sent)
+        k *= 2
+        done += 1
+    if k >= w:
+        return v
+    nxt = _scan_pass(v, k, op, sent)
+    changed = jnp.any(nxt != v)
+    return jax.lax.cond(
+        changed,
+        lambda u: _scan_tail(u, 2 * k, w, op, sent),
+        lambda u: u,
+        nxt,
+    )
+
+
+def _cummax_lanes(v):
+    """Inclusive running max along lanes (adaptive Hillis-Steele)."""
+    if _ADAPTIVE:
+        return _adaptive_scan(v, jnp.maximum, NEG)
+    return _scan_tail(v, 1, v.shape[1], jnp.maximum, NEG)
 
 
 def _cummin_lanes(v):
-    tb, w = v.shape
-    k = 1
-    while k < w:
-        pad = jnp.full((tb, k), float("inf"), v.dtype)
-        v = jnp.minimum(v, jnp.concatenate([pad, v[:, :-k]], axis=1))
-        k *= 2
-    return v
+    """Inclusive running min along lanes (adaptive Hillis-Steele)."""
+    if _ADAPTIVE:
+        return _adaptive_scan(v, jnp.minimum, float("inf"))
+    return _scan_tail(v, 1, v.shape[1], jnp.minimum, float("inf"))
 
 
 def _u_row(m_row, m_border, u0, o, e, jcol, oj=None, ej=None):

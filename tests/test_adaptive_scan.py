@@ -1,0 +1,82 @@
+"""Adaptive early-exit lane scans (ops/pallas_scan._adaptive_scan).
+
+The adaptive scan must equal the plain Hillis-Steele prefix scan on EVERY
+input: the early exit may only fire at the fixpoint. These tests construct
+inputs that deterministically take each branch (monotone rows -> early
+exit; an early spike propagating the full width -> the lax.cond tail) and
+check the kernels end-to-end under both settings of the kill switch.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from aligntools_tpu.ops import pallas_scan as ps
+
+
+def _np_cummax(v):
+    return np.maximum.accumulate(v, axis=1)
+
+
+@pytest.mark.parametrize("w", [4, 8, 9, 16, 17, 128, 300, 2048])
+def test_adaptive_equals_prefix_max(w):
+    rng = np.random.default_rng(w)
+    for trial in range(4):
+        v = rng.normal(0, 10, (8, w)).astype(np.float32)
+        v[0, 0] = 1e6          # spike: max must propagate the full width
+        v[1, :] = -np.inf      # all -inf row (global-mode borders)
+        if w > 3:
+            v[2, 3] = 500.0    # mid spike
+        got = np.asarray(ps._adaptive_scan(jnp.asarray(v), jnp.maximum, ps.NEG))
+        assert np.array_equal(got, _np_cummax(v)), (w, trial)
+        gmin = np.asarray(
+            ps._adaptive_scan(jnp.asarray(-v), jnp.minimum, float("inf"))
+        )
+        assert np.array_equal(gmin, np.minimum.accumulate(-v, axis=1))
+
+
+@pytest.mark.parametrize("w", [32, 2048])
+def test_adaptive_early_exit_branch(w):
+    """Monotone rows converge before the check pass — the early-exit
+    branch must still return the exact prefix max."""
+    rng = np.random.default_rng(7)
+    m = np.cumsum(np.abs(rng.normal(0, 1, (8, w))), axis=1).astype(np.float32)
+    got = np.asarray(ps._adaptive_scan(jnp.asarray(m), jnp.maximum, ps.NEG))
+    assert np.array_equal(got, _np_cummax(m))
+
+
+def test_kernels_identical_with_and_without_adaptive(monkeypatch):
+    """pallas_scores (interpret mode) must be bit-identical whether the
+    adaptive scan is enabled or not, on data that exercises deep
+    propagation (long gap chains) in every mode."""
+    rng = np.random.default_rng(3)
+    B, m_pad, n_pad = 8, 64, 512
+    alpha = np.frombuffer(b"ACGT", dtype=np.uint8)
+    qs = rng.choice(alpha, (B, m_pad)).astype(np.int32)
+    ts = rng.choice(alpha, (B, n_pad)).astype(np.int32)
+    # pair 0: query is a substring of the target separated by a huge
+    # insert -> optimal path opens a gap spanning most of the row, which
+    # forces the in-row scan's max to propagate far
+    ts[0, :] = ord("C")
+    ts[0, :16] = qs[0, :16]
+    ts[0, -48:] = qs[0, 16:]
+    ns = np.full((B, 1), n_pad, np.int32)
+    ms = np.full((B, 1), m_pad, np.int32)
+    pm = np.zeros((1, 8), np.float32)
+    pm[0, :5] = [1, -2, -5, -1, -10]
+    args = tuple(jnp.asarray(a) for a in (qs, ts, ns, ms, pm))
+
+    results = {}
+    for flag in (True, False):
+        monkeypatch.setattr(ps, "_ADAPTIVE", flag)
+        ps.pallas_scores.clear_cache()
+        results[flag] = {
+            mode: np.asarray(
+                ps.pallas_scores(mode, m_pad, n_pad, True, *args)
+            )
+            for mode in ("global", "local", "overlap", "edit")
+        }
+    ps.pallas_scores.clear_cache()
+    for mode in results[True]:
+        assert np.array_equal(results[True][mode], results[False][mode]), mode
