@@ -22,6 +22,9 @@ Protocol (``aligntools calibrate`` or :func:`calibrate`):
   * ``flat_tile_cap``: the flat Pallas kernel's hard batch-tile ceiling —
     128 vs 256 timed at the 256x2048 sweet spot (v5e measures 50.6 vs
     48.7 GCUPS, so 128 stands there; another generation may prefer 256).
+  * ``scan_pre``: the adaptive in-row scan's unconditional pass count
+    (ops/pallas_scan) — 0/2/3/4 timed at the same sweet spot; 0 disables
+    the early exit on devices where the lax.cond overhead loses.
 Timing uses the same amortized on-device chaining as benchmarks/suite.py
 (K fills with a serial data dependency; difference two K values) so the
 30-90 ms per-call tunnel latency cancels. Total runtime is dominated by
@@ -296,6 +299,32 @@ def calibrate(force: bool = False, log=print) -> dict:
         result["flat_tile_cap"] = 256 if t256 < t128 else 128
     except Exception as err:
         log(f"  flat-tile calibration failed ({err}); keeping cap 128")
+    # 5. adaptive-scan pre-pass count (0 = early exit disabled). The
+    #    override is read at trace time, so the kernel jit caches must be
+    #    cleared between probes.
+    try:
+        from aligntools_tpu.ops import pallas_scan as pk
+
+        timings = {}
+        for pre in (0, 2, 3, 4):
+            pk._PRE_OVERRIDE = pre
+            pk.pallas_scores.clear_cache()
+            timings[pre] = _bench_flat_tile(128)
+            log(f"  scan_pre {pre}: {timings[pre]*1e3:8.2f} ms")
+        result["measured"]["scan_pre"] = {
+            str(k): v for k, v in timings.items()
+        }
+        result["scan_pre"] = min(timings, key=timings.get)
+    except Exception as err:
+        log(f"  scan-pre calibration failed ({err}); keeping default")
+    finally:
+        try:
+            from aligntools_tpu.ops import pallas_scan as pk
+
+            pk._PRE_OVERRIDE = None
+            pk.pallas_scores.clear_cache()
+        except Exception:
+            pass
     os.makedirs(os.path.dirname(path), exist_ok=True)
     tmp = path + ".tmp"
     with open(tmp, "w") as f:

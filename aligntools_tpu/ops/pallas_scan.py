@@ -14,8 +14,11 @@ the kernel is per-instruction-overhead-bound at narrow tiles); rows are
 column-0 border is carried as a (tile_b, 1) scalar column and shifted
 in). The in-row gap recurrences use the same exact max-plus normalization
 as the scan engine (engine/scan.py docstring), with the running max done
-as a Hillis-Steele doubling scan over lanes (log2(n_pad) shift+max
-steps); ROW_UNROLL consecutive rows share one MXU char-extraction dot per
+as an ADAPTIVE Hillis-Steele doubling scan over lanes — a few
+unconditional shift+max passes, then a convergence check that skips the
+remaining log2(n_pad) passes once the fixpoint is provably reached (see
+_adaptive_scan; the common case on real data); ROW_UNROLL consecutive
+rows share one MXU char-extraction dot per
 fori_loop iteration.
 
 Semantics are identical to engine/scan.py (itself parity-tested against
@@ -57,13 +60,33 @@ def _scan_tail(v, k, w, op, sent):
 
 
 # Unconditional doubling passes before the first convergence check
-# (window 2^_ADAPTIVE_PRE). Kill switch: ALIGNTOOLS_ADAPTIVE_SCAN=0
-# falls back to the full log2(w)-pass scan.
-_ADAPTIVE_PRE = 3
-_ADAPTIVE = __import__("os").environ.get("ALIGNTOOLS_ADAPTIVE_SCAN", "1") != "0"
+# (window 2^pre). Resolution order (read at TRACE time): _PRE_OVERRIDE
+# (calibrate/test hook; pair writes with pallas_scores.clear_cache()),
+# then ALIGNTOOLS_ADAPTIVE_SCAN (0 disables the early exit entirely, an
+# integer >= 2 forces that many pre passes), then the per-device-kind
+# autotune table ("scan_pre", measured by `aligntools calibrate`), then
+# the v5e default of 3.
+_PRE_DEFAULT = 3
+_PRE_OVERRIDE: int | None = None
 
 
-def _adaptive_scan(v, op, sent):
+def _scan_pre() -> int:
+    if _PRE_OVERRIDE is not None:
+        return _PRE_OVERRIDE
+    env = __import__("os").environ.get("ALIGNTOOLS_ADAPTIVE_SCAN", "1")
+    if env not in ("", "1"):
+        return max(0, int(env))
+    try:
+        if jax.default_backend() == "tpu":
+            from aligntools_tpu.engine.autotune import table
+
+            return int(table().get("scan_pre", _PRE_DEFAULT))
+    except Exception:
+        pass
+    return _PRE_DEFAULT
+
+
+def _adaptive_scan(v, op, sent, pre):
     """Prefix scan along lanes with a data-dependent early exit.
 
     The plain Hillis-Steele scan always pays log2(w) full-width passes.
@@ -81,7 +104,7 @@ def _adaptive_scan(v, op, sent):
     """
     tb, w = v.shape
     k, done = 1, 0
-    while k < w and done < _ADAPTIVE_PRE:
+    while k < w and done < pre:
         v = _scan_pass(v, k, op, sent)
         k *= 2
         done += 1
@@ -99,15 +122,17 @@ def _adaptive_scan(v, op, sent):
 
 def _cummax_lanes(v):
     """Inclusive running max along lanes (adaptive Hillis-Steele)."""
-    if _ADAPTIVE:
-        return _adaptive_scan(v, jnp.maximum, NEG)
+    pre = _scan_pre()
+    if pre > 0:
+        return _adaptive_scan(v, jnp.maximum, NEG, pre)
     return _scan_tail(v, 1, v.shape[1], jnp.maximum, NEG)
 
 
 def _cummin_lanes(v):
     """Inclusive running min along lanes (adaptive Hillis-Steele)."""
-    if _ADAPTIVE:
-        return _adaptive_scan(v, jnp.minimum, float("inf"))
+    pre = _scan_pre()
+    if pre > 0:
+        return _adaptive_scan(v, jnp.minimum, float("inf"), pre)
     return _scan_tail(v, 1, v.shape[1], jnp.minimum, float("inf"))
 
 

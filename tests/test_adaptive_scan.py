@@ -28,10 +28,12 @@ def test_adaptive_equals_prefix_max(w):
         v[1, :] = -np.inf      # all -inf row (global-mode borders)
         if w > 3:
             v[2, 3] = 500.0    # mid spike
-        got = np.asarray(ps._adaptive_scan(jnp.asarray(v), jnp.maximum, ps.NEG))
+        got = np.asarray(
+            ps._adaptive_scan(jnp.asarray(v), jnp.maximum, ps.NEG, 3)
+        )
         assert np.array_equal(got, _np_cummax(v)), (w, trial)
         gmin = np.asarray(
-            ps._adaptive_scan(jnp.asarray(-v), jnp.minimum, float("inf"))
+            ps._adaptive_scan(jnp.asarray(-v), jnp.minimum, float("inf"), 3)
         )
         assert np.array_equal(gmin, np.minimum.accumulate(-v, axis=1))
 
@@ -42,8 +44,11 @@ def test_adaptive_early_exit_branch(w):
     branch must still return the exact prefix max."""
     rng = np.random.default_rng(7)
     m = np.cumsum(np.abs(rng.normal(0, 1, (8, w))), axis=1).astype(np.float32)
-    got = np.asarray(ps._adaptive_scan(jnp.asarray(m), jnp.maximum, ps.NEG))
-    assert np.array_equal(got, _np_cummax(m))
+    for pre in (2, 3, 4):
+        got = np.asarray(
+            ps._adaptive_scan(jnp.asarray(m), jnp.maximum, ps.NEG, pre)
+        )
+        assert np.array_equal(got, _np_cummax(m))
 
 
 def test_kernels_identical_with_and_without_adaptive(monkeypatch):
@@ -68,15 +73,15 @@ def test_kernels_identical_with_and_without_adaptive(monkeypatch):
     args = tuple(jnp.asarray(a) for a in (qs, ts, ns, ms, pm))
 
     results = {}
-    for flag in (True, False):
-        monkeypatch.setattr(ps, "_ADAPTIVE", flag)
+    for pre in (3, 0):  # adaptive vs unconditional full scan
+        monkeypatch.setattr(ps, "_PRE_OVERRIDE", pre)
         ps.pallas_scores.clear_cache()
-        results[flag] = {
+        results[pre] = {
             mode: np.asarray(
                 ps.pallas_scores(mode, m_pad, n_pad, True, *args)
             )
             for mode in ("global", "local", "overlap", "edit")
         }
     ps.pallas_scores.clear_cache()
-    for mode in results[True]:
-        assert np.array_equal(results[True][mode], results[False][mode]), mode
+    for mode in results[3]:
+        assert np.array_equal(results[3][mode], results[0][mode]), mode

@@ -1,0 +1,41 @@
+#!/bin/bash
+# Hardware validation pass: run after any kernel change, on the real TPU.
+# Each probe runs in its OWN process (the axon tunnel wedges long-lived
+# multi-compile processes). Logs to stdout; stop at any FAIL.
+#
+#   bash tools/hw_validate.sh [quick|full]
+set -u
+PY=/opt/venv/bin/python
+cd "$(dirname "$0")/.."
+MODE="${1:-quick}"
+
+step() { echo "=== $* ==="; }
+
+step "device check"
+timeout 120 $PY -c "import jax; d=jax.devices(); assert d[0].platform=='tpu', d; print(d)" || { echo "TUNNEL DOWN"; exit 1; }
+
+step "adaptive-scan A/B (flat kernel, one process per config)"
+for cfg in "local 256 2048" "local 32 8192" "global 256 2048" "edit 256 2048" "overlap 256 2048"; do
+  for ad in 1 0; do
+    ALIGNTOOLS_ADAPTIVE_SCAN=$ad timeout 600 $PY benchmarks/probe_flat.py $cfg pallas || echo "probe FAIL: $cfg ad=$ad"
+  done
+done
+ALIGNTOOLS_ADAPTIVE_SCAN=1 timeout 600 $PY benchmarks/probe_flat.py local 256 2048 xla || true
+for ad in 1 0; do
+  ALIGNTOOLS_ADAPTIVE_SCAN=$ad timeout 900 $PY benchmarks/probe_flat.py fitjump 64 512 32768 pallas || echo "probe FAIL: fitjump ad=$ad"
+done
+
+step "tpu_check (bit-equality on hardware)"
+timeout 3600 $PY tools/tpu_check.py || { echo "tpu_check FAIL"; exit 1; }
+
+if [ "$MODE" = "full" ]; then
+  step "calibrate --force (per-device crossover table)"
+  timeout 3600 $PY -m aligntools_tpu.cli calibrate --force || echo "calibrate FAIL"
+
+  step "benchmark suite (regenerates benchmarks/RESULTS.md)"
+  timeout 3600 $PY benchmarks/suite.py || echo "suite FAIL"
+
+  step "bench.py (headline JSON line)"
+  timeout 1800 $PY bench.py || echo "bench FAIL"
+fi
+echo "=== hw_validate done ==="
