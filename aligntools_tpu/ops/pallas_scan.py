@@ -112,12 +112,32 @@ def _adaptive_scan(v, op, sent, pre):
         return v
     nxt = _scan_pass(v, k, op, sent)
     changed = jnp.any(nxt != v)
-    return jax.lax.cond(
-        changed,
-        lambda u: _scan_tail(u, 2 * k, w, op, sent),
-        lambda u: u,
-        nxt,
-    )
+    k2 = 2 * k
+
+    def stage2(u):
+        # The check spans every lane of the whole batch tile (up to
+        # 128 x n), so a single deep-propagation lane anywhere fails it.
+        # Rather than falling straight to the full tail, run two more
+        # doublings and check once more — rows whose propagation fits
+        # the widened window still skip the expensive remainder.
+        kk = k2
+        for _ in range(2):
+            if kk < w:
+                u = _scan_pass(u, kk, op, sent)
+                kk *= 2
+        if kk >= w:
+            return u
+        nxt2 = _scan_pass(u, kk, op, sent)
+        ch2 = jnp.any(nxt2 != u)
+        kk2 = 2 * kk
+        return jax.lax.cond(
+            ch2,
+            lambda y: _scan_tail(y, kk2, w, op, sent),
+            lambda y: y,
+            nxt2,
+        )
+
+    return jax.lax.cond(changed, stage2, lambda u: u, nxt)
 
 
 def _cummax_lanes(v):

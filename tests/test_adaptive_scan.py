@@ -38,6 +38,19 @@ def test_adaptive_equals_prefix_max(w):
         assert np.array_equal(gmin, np.minimum.accumulate(-v, axis=1))
 
 
+def test_adaptive_mid_distance_propagation():
+    """Propagation distance ~50 lanes: fails the first (window-16) check,
+    is absorbed by the second-stage window — must still be exact."""
+    w = 2048
+    base = np.tile(np.arange(w, dtype=np.float32) * 0.1, (8, 1))
+    base[:, 100] += 5.0   # carries ~50 lanes before the slope catches up
+    base[3, 700] += 11.0  # deeper: ~110 lanes, exercises the full tail
+    got = np.asarray(
+        ps._adaptive_scan(jnp.asarray(base), jnp.maximum, ps.NEG, 3)
+    )
+    assert np.array_equal(got, _np_cummax(base))
+
+
 @pytest.mark.parametrize("w", [32, 2048])
 def test_adaptive_early_exit_branch(w):
     """Monotone rows converge before the check pass — the early-exit
