@@ -306,7 +306,7 @@ def calibrate(force: bool = False, log=print) -> dict:
         from aligntools_tpu.ops import pallas_scan as pk
 
         timings = {}
-        for pre in (0, 2, 3, 4):
+        for pre in (0, 2, 3, 4, 5):
             pk._PRE_OVERRIDE = pre
             pk.pallas_scores.clear_cache()
             timings[pre] = _bench_flat_tile(128)
