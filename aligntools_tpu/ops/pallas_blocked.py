@@ -36,6 +36,7 @@ from jax.experimental.pallas import tpu as pltpu
 from aligntools_tpu.ops.pallas_scan import (
     TILE_B,
     _cummax_lanes,
+    _cummax_lanes_flat,
     _cummin_lanes,
     _row_char,
     _shift_in,
@@ -270,7 +271,7 @@ def _blocked_affine_kernel(mode, use_jump, m_pad, c_blk, q_ref, t_ref,
                 allow > 0.0, _shift_in(m_row, m_edge_cur) + jp, NEG
             )
             j_row = jnp.maximum(
-                _cummax_lanes(jcand),
+                _cummax_lanes_flat(jcand),
                 jnp.broadcast_to(j_edge_cur, (TILE_B, c_blk)),
             )
         else:
@@ -625,7 +626,7 @@ def _blocked_ptr_kernel(mode, use_jump, rpb, m_pad, c_blk, q_ref, t_ref,
             j_edge_cur = jnp.where(first_blk, zcol + NEG, eJ_cur)
             jc = jnp.where(allow > 0.0, mh + jp, NEG)
             j_row = jnp.maximum(
-                _cummax_lanes(jc),
+                _cummax_lanes_flat(jc),
                 jnp.broadcast_to(j_edge_cur, (TILE_B, c_blk)),
             )
             jh = _shift_in(j_row, j_edge_cur)

@@ -48,6 +48,7 @@ from jax.experimental.pallas import tpu as pltpu
 from aligntools_tpu.ops.pallas_scan import (
     TILE_B,
     _cummax_lanes,
+    _cummax_lanes_flat,
     _row_char,
     _shift_in,
     _u_row,
@@ -231,7 +232,7 @@ def _ptr_kernel(mode, use_jump, rpb, m_pad, n_pad,
         if use_jump:
             jc = jnp.where(allow > 0.0, _shift_in(m_row, m_border_cur) + jp,
                            NEG)
-            j_row = _cummax_lanes(jc)
+            j_row = _cummax_lanes_flat(jc)
             jb = _shift_in(j_row, zcol + NEG)
             pjbit = jnp.where(
                 (jc > NEG) & (jc >= jb), 0, PK_J_IS_JUMP

@@ -148,6 +148,14 @@ def _cummax_lanes(v):
     return _scan_tail(v, 1, v.shape[1], jnp.maximum, NEG)
 
 
+def _cummax_lanes_flat(v):
+    """Unconditional full scan — for recurrences with NO decay slope
+    (fit's jump carry is free horizontal extension), where the prefix max
+    routinely reaches far back and the adaptive check would fail almost
+    every row, paying its reductions for nothing."""
+    return _scan_tail(v, 1, v.shape[1], jnp.maximum, NEG)
+
+
 def _cummin_lanes(v):
     """Inclusive running min along lanes (adaptive Hillis-Steele)."""
     pre = _scan_pre()
@@ -454,7 +462,7 @@ def _fit_kernel(use_jump, m_pad, n_pad, q_ref, t_ref, allow_ref, n_ref,
         best_ml = jnp.maximum(m_row, l_row)
         best = jnp.maximum(best_ml, u_row)
         if use_jump:
-            j_row = _cummax_lanes(sm + jbias)
+            j_row = _cummax_lanes_flat(sm + jbias)
             best = jnp.maximum(best, j_row)
         accrow = jnp.where(i == m_col, best_ml, accrow)
         return m_row, l_row, best, accrow
