@@ -23,8 +23,12 @@ Protocol (``aligntools calibrate`` or :func:`calibrate`):
     128 vs 256 timed at the 256x2048 sweet spot (v5e measures 50.6 vs
     48.7 GCUPS, so 128 stands there; another generation may prefer 256).
   * ``scan_pre``: the adaptive in-row scan's unconditional pass count
-    (ops/pallas_scan) — 0/2/3/4 timed at the same sweet spot; 0 disables
-    the early exit on devices where the lax.cond overhead loses.
+    (ops/pallas_scan) — 0/2/3/4/5 timed at the same sweet spot; 0
+    disables the early exit on devices where the lax.cond overhead loses.
+  * ``scan_twolevel``: whether the two-level scan tail (narrow
+    cross-block carries instead of full-width passes past window 128)
+    wins at a long-row shape; stays off if its strided extract does not
+    compile on this toolchain.
 Timing uses the same amortized on-device chaining as benchmarks/suite.py
 (K fills with a serial data dependency; difference two K values) so the
 30-90 ms per-call tunnel latency cancels. Total runtime is dominated by
@@ -322,6 +326,35 @@ def calibrate(force: bool = False, log=print) -> dict:
             from aligntools_tpu.ops import pallas_scan as pk
 
             pk._PRE_OVERRIDE = None
+            pk.pallas_scores.clear_cache()
+        except Exception:
+            pass
+    # 6. two-level scan tail on/off at a long-row shape (the J scans and
+    #    the adaptive checks' failure path pay the full tail there). A
+    #    Mosaic compile failure of the strided block-extract lands in the
+    #    except: the flag simply stays off.
+    try:
+        from aligntools_tpu.ops import pallas_scan as pk
+
+        pk._PRE_OVERRIDE = result.get("scan_pre")
+        tl_ms = {}
+        for tl in (False, True):
+            pk._TWOLEVEL_OVERRIDE = tl
+            pk.pallas_scores.clear_cache()
+            tl_ms[tl] = _bench_flat_tile(32, batch=32, n_pad=8192)
+            log(f"  twolevel={tl}: {tl_ms[tl]*1e3:8.2f} ms (32x8192)")
+        result["measured"]["scan_twolevel"] = {
+            str(k): v for k, v in tl_ms.items()
+        }
+        result["scan_twolevel"] = bool(tl_ms[True] < tl_ms[False])
+    except Exception as err:
+        log(f"  twolevel calibration failed ({err}); flag stays off")
+    finally:
+        try:
+            from aligntools_tpu.ops import pallas_scan as pk
+
+            pk._PRE_OVERRIDE = None
+            pk._TWOLEVEL_OVERRIDE = None
             pk.pallas_scores.clear_cache()
         except Exception:
             pass

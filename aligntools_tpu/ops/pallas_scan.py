@@ -52,11 +52,73 @@ def _scan_pass(v, k, op, sent):
 
 
 def _scan_tail(v, k, w, op, sent):
-    """Unconditional doubling passes k, 2k, ... up to width w."""
+    """Finish a prefix scan whose lanes currently hold exact windows of
+    size ``k``: doubling passes k, 2k, ... up to width w — or, when
+    enabled, the two-level form that replaces the O(log2 w) full-width
+    passes past window 128 with a NARROW cross-block scan."""
+    if _twolevel() and w % _BLK == 0 and k <= _BLK and w > _BLK:
+        return _scan_tail_twolevel(v, k, w, op, sent)
     while k < w:
         v = _scan_pass(v, k, op, sent)
         k *= 2
     return v
+
+
+# Two-level tail: full-width doubling passes stop at window _BLK; the
+# remaining cross-block resolution runs at width w/_BLK. Gated off on TPU
+# until `aligntools calibrate` measures it (scan_twolevel) or
+# ALIGNTOOLS_TWOLEVEL_SCAN=1 forces it; always on elsewhere (interpret
+# tests cover both compositions).
+_BLK = 128
+_TWOLEVEL_OVERRIDE: bool | None = None
+
+
+def _twolevel() -> bool:
+    if _TWOLEVEL_OVERRIDE is not None:
+        return _TWOLEVEL_OVERRIDE
+    env = __import__("os").environ.get("ALIGNTOOLS_TWOLEVEL_SCAN")
+    if env is not None:
+        return env == "1"
+    try:
+        if jax.default_backend() == "tpu":
+            from aligntools_tpu.engine.autotune import table
+
+            return bool(table().get("scan_twolevel", False))
+    except Exception:
+        pass
+    return jax.default_backend() != "tpu"
+
+
+def _scan_tail_twolevel(v, k, w, op, sent):
+    """Prefix-scan tail via per-block carries, exact for IDEMPOTENT ops
+    (max/min — which these scans are).
+
+    Doubling passes widen the window to exactly _BLK; the lane at each
+    block's last position then holds precisely that block's reduction, so
+    a scan over those w/_BLK values (narrow: ~w/128 lanes instead of w)
+    plus an exclusive shift gives every block the reduction of all
+    preceding blocks. The final combine op(v, broadcast) is exact even
+    though the window-_BLK values overlap block boundaries — idempotent
+    ops tolerate double-counted coverage; the union of [block start of j
+    .. j]'s window and all-preceding-blocks covers [0..j] exactly.
+    Full-width work: log2(_BLK) passes + broadcast + combine, independent
+    of w — vs log2(w) passes for the flat tail."""
+    tb = v.shape[0]
+    while k < _BLK:
+        v = _scan_pass(v, k, op, sent)
+        k *= 2
+    nb = w // _BLK
+    # per-block reductions: the window-_BLK value at each block-final lane
+    e = jax.lax.slice(v, (0, _BLK - 1), (tb, w), (1, _BLK))  # (tb, nb)
+    kk = 1
+    while kk < nb:
+        e = _scan_pass(e, kk, op, sent)
+        kk *= 2
+    p = jnp.concatenate(
+        [jnp.full((tb, 1), sent, v.dtype), e[:, :-1]], axis=1
+    )
+    b = jnp.broadcast_to(p[:, :, None], (tb, nb, _BLK)).reshape(tb, w)
+    return op(v, b)
 
 
 # Unconditional doubling passes before the first convergence check

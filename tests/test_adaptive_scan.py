@@ -19,8 +19,10 @@ def _np_cummax(v):
     return np.maximum.accumulate(v, axis=1)
 
 
+@pytest.mark.parametrize("twolevel", [True, False])
 @pytest.mark.parametrize("w", [4, 8, 9, 16, 17, 128, 300, 2048])
-def test_adaptive_equals_prefix_max(w):
+def test_adaptive_equals_prefix_max(w, twolevel, monkeypatch):
+    monkeypatch.setattr(ps, "_TWOLEVEL_OVERRIDE", twolevel)
     rng = np.random.default_rng(w)
     for trial in range(4):
         v = rng.normal(0, 10, (8, w)).astype(np.float32)
@@ -34,6 +36,39 @@ def test_adaptive_equals_prefix_max(w):
         assert np.array_equal(got, _np_cummax(v)), (w, trial)
         gmin = np.asarray(
             ps._adaptive_scan(jnp.asarray(-v), jnp.minimum, float("inf"), 3)
+        )
+        assert np.array_equal(gmin, np.minimum.accumulate(-v, axis=1))
+
+
+@pytest.mark.parametrize("w", [256, 384, 2048, 8192])
+def test_twolevel_tail_exact(w, monkeypatch):
+    """Two-level tail (window-128 passes + narrow cross-block scan +
+    exclusive broadcast) vs the flat doubling tail, from every legal
+    entry window, on data with block-crossing propagation."""
+    rng = np.random.default_rng(w)
+    v = rng.normal(0, 10, (8, w)).astype(np.float32)
+    v[0, 0] = 1e6
+    v[2, 129] = 900.0   # propagates across many blocks
+    v[4, :] = -np.inf
+    want = _np_cummax(v)
+    for k in (1, 8, 128):
+        # entry window k means v already holds trailing-k-window maxima
+        vin = jnp.asarray(v)
+        kk = 1
+        while kk < k:
+            vin = ps._scan_pass(vin, kk, jnp.maximum, ps.NEG)
+            kk *= 2
+        got = np.asarray(
+            ps._scan_tail_twolevel(vin, k, w, jnp.maximum, ps.NEG)
+        )
+        assert np.array_equal(got, want), (w, k)
+        gmin = np.asarray(
+            ps._scan_tail_twolevel(
+                -jnp.asarray(v) if k == 1 else ps._scan_tail(
+                    jnp.asarray(-v), 1, k, jnp.minimum, float("inf")
+                ),
+                k, w, jnp.minimum, float("inf"),
+            )
         )
         assert np.array_equal(gmin, np.minimum.accumulate(-v, axis=1))
 

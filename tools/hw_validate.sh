@@ -25,6 +25,12 @@ for ad in 1 0; do
   ALIGNTOOLS_ADAPTIVE_SCAN=$ad timeout 900 $PY benchmarks/probe_flat.py fitjump 64 512 32768 pallas || echo "probe FAIL: fitjump ad=$ad"
 done
 
+step "two-level tail A/B (compile risk: strided extract; failure is informative, not fatal)"
+for tl in 1 0; do
+  ALIGNTOOLS_TWOLEVEL_SCAN=$tl timeout 900 $PY benchmarks/probe_flat.py fitjump 64 512 32768 pallas || echo "twolevel=$tl FAIL"
+  ALIGNTOOLS_TWOLEVEL_SCAN=$tl timeout 600 $PY benchmarks/probe_flat.py local 32 8192 pallas || echo "twolevel=$tl FAIL"
+done
+
 step "tpu_check (bit-equality on hardware)"
 timeout 3600 $PY tools/tpu_check.py || { echo "tpu_check FAIL"; exit 1; }
 
