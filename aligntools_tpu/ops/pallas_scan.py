@@ -128,7 +128,14 @@ def _scan_tail_twolevel(v, k, w, op, sent):
 # integer >= 2 forces that many pre passes), then the per-device-kind
 # autotune table ("scan_pre", measured by `aligntools calibrate`), then
 # the v5e default of 3.
-_PRE_DEFAULT = 3
+# Default 4: the convergence check spans the whole (tile_b, n) tile, and
+# a stage-1 failure needs a score drop > 2^pre * |slope| inside the check
+# window somewhere in the tile. For DNA defaults (match 1, e -1) at
+# 128x2048 lanes, window 16 (pre=3) trips on roughly half the rows while
+# window 32 (pre=4) almost never does — one extra pass buys a reliably
+# passing first check. `aligntools calibrate` replaces this with the
+# measured per-device value.
+_PRE_DEFAULT = 4
 _PRE_OVERRIDE: int | None = None
 
 
