@@ -83,6 +83,53 @@ def main():
         assert np.array_equal(got, want), (mode, got[:4], want[:4])
         print(f"flat {mode}: OK", flush=True)
 
+    # 1b. scan-strategy variants on hardware: every (scan_pre, twolevel)
+    # composition must be bit-identical — the adaptive early exit and the
+    # two-level tail are exact by construction, and this is where a
+    # Mosaic lowering problem (lax.cond on vectors, the strided block
+    # extract, the 3D broadcast-back) would surface first.
+    from aligntools_tpu.ops import pallas_scan as pk
+
+    fitpairs = [
+        (bytes(rng.choice(alpha, int(rng.integers(50, 256))).tolist()),
+         bytes(rng.choice(alpha, int(rng.integers(300, 1024))).tolist()))
+        for _ in range(8)
+    ]
+    fq, ft, fallow, fns, fms = bucket(fitpairs, 256, 1024)
+    fa = tuple(jnp.asarray(x) for x in (fq, ft, fallow, fns, fms, params))
+    base = {}
+    try:
+        for pre, tl in ((0, False), (3, False), (4, True), (3, True)):
+            pk._PRE_OVERRIDE, pk._TWOLEVEL_OVERRIDE = pre, tl
+            pk.pallas_scores.clear_cache()
+            pk.pallas_fit_scores.clear_cache()
+            for mode in ("global", "local", "overlap", "edit"):
+                got = np.asarray(pallas_scores(mode, 512, 1024, False, *a))
+                if mode not in base:
+                    base[mode] = got
+                assert np.array_equal(got, base[mode]), (
+                    "scan-variant", mode, pre, tl)
+            gotf = np.asarray(
+                pk.pallas_fit_scores(True, 256, 1024, False, *fa)
+            )
+            if "fit" not in base:
+                base["fit"] = gotf
+            assert np.array_equal(gotf, base["fit"]), (
+                "scan-variant fit+jump", pre, tl)
+            print(f"scan variants pre={pre} twolevel={tl}: OK", flush=True)
+    finally:
+        pk._PRE_OVERRIDE = pk._TWOLEVEL_OVERRIDE = None
+        pk.pallas_scores.clear_cache()
+        pk.pallas_fit_scores.clear_cache()
+    gotf = [
+        float(x) for x in base["fit"]
+    ]
+    wantf = [
+        spec.spec_fit(q, t, p, sites=[]).score for q, t in fitpairs
+    ]
+    assert gotf == wantf, ("fit+jump vs spec", gotf[:3], wantf[:3])
+    print("scan variants vs spec: OK", flush=True)
+
     # 2. blocked kernel at 131k columns (DP values to ~-130k)
     big = [
         (bytes(rng.choice(alpha, int(rng.integers(30, 64))).tolist()),
