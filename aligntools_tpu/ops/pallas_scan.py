@@ -108,8 +108,11 @@ def _scan_tail_twolevel(v, k, w, op, sent):
         v = _scan_pass(v, k, op, sent)
         k *= 2
     nb = w // _BLK
-    # per-block reductions: the window-_BLK value at each block-final lane
-    e = jax.lax.slice(v, (0, _BLK - 1), (tb, w), (1, _BLK))  # (tb, nb)
+    # per-block reductions: the window-_BLK value at each block-final
+    # lane. NOT a strided slice (Mosaic confines vector slice strides to
+    # 1): reshape to expose blocks, take the unit-stride block-final
+    # column, drop the axis.
+    e = v.reshape(tb, nb, _BLK)[:, :, _BLK - 1]  # (tb, nb)
     kk = 1
     while kk < nb:
         e = _scan_pass(e, kk, op, sent)
