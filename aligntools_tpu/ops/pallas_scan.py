@@ -30,6 +30,7 @@ match bit-for-bit. Reference recurrences: src/alignment.h:417-473 (global),
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -76,7 +77,7 @@ _TWOLEVEL_OVERRIDE: bool | None = None
 def _twolevel() -> bool:
     if _TWOLEVEL_OVERRIDE is not None:
         return _TWOLEVEL_OVERRIDE
-    env = __import__("os").environ.get("ALIGNTOOLS_TWOLEVEL_SCAN")
+    env = os.environ.get("ALIGNTOOLS_TWOLEVEL_SCAN")
     if env is not None:
         return env == "1"
     try:
@@ -130,7 +131,7 @@ def _scan_tail_twolevel(v, k, w, op, sent):
 # then ALIGNTOOLS_ADAPTIVE_SCAN (0 disables the early exit entirely, an
 # integer >= 2 forces that many pre passes), then the per-device-kind
 # autotune table ("scan_pre", measured by `aligntools calibrate`), then
-# the v5e default of 3.
+# the default below.
 # Default 4: the convergence check spans the whole (tile_b, n) tile, and
 # a stage-1 failure needs a score drop > 2^pre * |slope| inside the check
 # window somewhere in the tile. For DNA defaults (match 1, e -1) at
@@ -145,7 +146,7 @@ _PRE_OVERRIDE: int | None = None
 def _scan_pre() -> int:
     if _PRE_OVERRIDE is not None:
         return _PRE_OVERRIDE
-    env = __import__("os").environ.get("ALIGNTOOLS_ADAPTIVE_SCAN", "1")
+    env = os.environ.get("ALIGNTOOLS_ADAPTIVE_SCAN", "1")
     if env not in ("", "1"):
         return max(0, int(env))
     try:
