@@ -45,19 +45,22 @@ def align_pair(
     if sites is not None and mode != "fit":
         raise ValueError("junction sites are only meaningful in fit mode")
     if engine == "auto":
-        import jax
+        from aligntools_tpu.backend import backend_name as _backend_name
 
-        from aligntools_tpu.engine.scan import f32_exact
-
-        # The device engine is f32; out-of-range (params x length)
-        # combinations would lose integer exactness, so auto routes them
-        # to the double-precision spec oracle (ADVICE r1). On the CPU
-        # backend a lone pair is compile-dominated — spec wins cold by
-        # 7-60x and ties warm (module docstring).
-        if jax.default_backend() == "cpu" or not f32_exact(
-            params, len(seq1), len(seq2), mode
-        ):
+        # On the CPU backend a lone pair is compile-dominated — spec wins
+        # cold by 7-60x and ties warm (module docstring). Checked FIRST,
+        # before anything that imports jax: the cold single-pair CLI stays
+        # numpy-only (~0.4 s vs ~2.6 s with the jax import; VERDICT r2 #7).
+        if _backend_name() == "cpu":
             engine = "spec"
+        else:
+            from aligntools_tpu.engine.scan import f32_exact
+
+            # The device engine is f32; out-of-range (params x length)
+            # combinations would lose integer exactness, so auto routes
+            # them to the double-precision spec oracle (ADVICE r1).
+            if not f32_exact(params, len(seq1), len(seq2), mode):
+                engine = "spec"
     if engine in ("auto", "scan"):
         from aligntools_tpu.engine.scan import scan_align
 

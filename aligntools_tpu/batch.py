@@ -33,6 +33,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from aligntools_tpu.backend import on_tpu as _on_tpu
+
 from aligntools_tpu.engine import scan as _scan
 from aligntools_tpu.engine import select as _select
 from aligntools_tpu.engine import traceback as tb
@@ -233,7 +235,7 @@ def _pallas_bucket_scores(mode, b, params: AlignParams, use_jump: bool):
 
     from aligntools_tpu.ops import pallas_scan as pk
 
-    interpret = jax.default_backend() != "tpu"
+    interpret = not _on_tpu()
     blocked = _select.use_blocked(mode, b.n_pad)
     tile_b = None if blocked else _select.flat_tile_b(len(b.idx), b.n_pad)
     (qs, ts, allow, ns, ms, pmat), B, _, _ = _kernel_arrays(
@@ -351,7 +353,7 @@ def align_batch(
             traceback
             and route_pallas
             and mode != "edit"
-            and jax.default_backend() == "tpu"
+            and _on_tpu()
         ):
             _pallas_bucket_full(mode, b, params, use_jump, pairs, results)
             continue
@@ -375,7 +377,7 @@ def align_batch(
         # On TPU, walk tracebacks on the device: pulling the pointer
         # tensor through the host link costs ~25 s/GB in this environment
         # (0.04 GB/s measured); the device walk transfers only the rows.
-        use_device_tb = traceback and jax.default_backend() == "tpu"
+        use_device_tb = traceback and _on_tpu()
         if use_device_tb and mode in ("global", "local", "fit", "overlap"):
             from aligntools_tpu.engine import device_tb
 

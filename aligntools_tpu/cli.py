@@ -140,12 +140,19 @@ def _select_backend() -> None:
     override — the batch pipeline (pipeline.py) targets the TPU by default.
     """
     want = os.environ.get("ALIGNTOOLS_DEVICE", "cpu")
-    try:
-        import jax
+    if "jax" in sys.modules:
+        try:
+            import jax
 
-        jax.config.update("jax_platforms", want)
-    except Exception:
-        pass  # unknown backend names surface on first jax use
+            jax.config.update("jax_platforms", want)
+        except Exception:
+            pass  # unknown backend names surface on first jax use
+    else:
+        # jax not loaded yet (axon gate var unset): pin the platform via
+        # the environment so a LATER jax import — if any — agrees, without
+        # paying the ~2.2 s import now. The numpy spec path (the default
+        # single-pair route) then never imports jax at all (VERDICT r2 #7).
+        os.environ["JAX_PLATFORMS"] = want
     _enable_compile_cache()
 
 
@@ -154,6 +161,30 @@ def _enable_compile_cache() -> None:
     process, so without it every run recompiles its bucket kernels.
     CPU-backend only: executables deserialized from the cache fail with
     FAILED_PRECONDITION under the axon remote-compile TPU backend."""
+    if "jax" not in sys.modules:
+        # Deferred-jax cold path: arrange the cache via the env vars jax
+        # reads at import, costing nothing unless jax actually loads.
+        # Skip under a forced multi-device host (the shard_map serialize
+        # SIGABRT guard below can't be checked without importing jax).
+        if os.environ.get("JAX_PLATFORMS", "").split(",")[0] != "cpu":
+            return
+        if "xla_force_host_platform_device_count" in os.environ.get(
+            "XLA_FLAGS", ""
+        ):
+            return
+        cache = os.environ.get(
+            "ALIGNTOOLS_JAX_CACHE",
+            os.path.expanduser("~/.cache/aligntools-jax"),
+        )
+        try:
+            os.makedirs(cache, exist_ok=True)
+        except OSError:
+            return
+        os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", cache)
+        os.environ.setdefault(
+            "JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5"
+        )
+        return
     try:
         import jax
 

@@ -46,6 +46,8 @@ import os
 import re
 import time
 
+from aligntools_tpu.backend import backend_name as _backend_name
+
 CACHE_ENV = "ALIGNTOOLS_JAX_CACHE"
 _DEFAULTS = {"bmin": 128, "nmax": 4096, "flat_tile_cap": 128}
 _loaded: dict | None = None
@@ -245,7 +247,7 @@ def calibrate(force: bool = False, log=print) -> dict:
     if not force and os.path.exists(path):
         _loaded = None
         return table()
-    if jax.default_backend() != "tpu":
+    if _backend_name() != "tpu":
         raise RuntimeError(
             "calibrate must run on the TPU backend (routing on CPU is "
             "interpret-only and never uses these thresholds)"

@@ -48,6 +48,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from aligntools_tpu.backend import on_tpu as _on_tpu
+
 from aligntools_tpu.params import AlignParams
 
 NEG = -jnp.inf
@@ -473,7 +475,7 @@ def _banded_scores_pallas(mode, qs, te, ns, ms, band, params, emit=False):
         build_t_win,
     )
 
-    interpret = jax.default_backend() != "tpu"
+    interpret = not _on_tpu()
     B, m0 = qs.shape
     V = 2 * band + 1
     V_pad = -(-V // 128) * 128
@@ -565,7 +567,7 @@ def banded_batch_scores(
         ns[k] = len(t)
         ms[k] = len(q)
         ps[k, 5] = len(q)
-    if engine == "auto" and jax.default_backend() == "tpu":
+    if engine == "auto" and _on_tpu():
         from aligntools_tpu.engine.autotune import table
 
         t = table()
@@ -751,7 +753,7 @@ def banded_align_batch(
         ns[k] = len(t)
         ms[k] = len(q)
         ps[k, 5] = len(q)
-    if engine == "auto" and jax.default_backend() == "tpu":
+    if engine == "auto" and _on_tpu():
         from aligntools_tpu.engine.autotune import table
 
         t_ = table()

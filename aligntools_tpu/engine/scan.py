@@ -89,9 +89,9 @@ def _unroll() -> int:
     GCUPS at 256x2048x2048, measured amortized) by letting XLA overlap
     independent work across consecutive rows; 1 on CPU keeps test compile
     times sane."""
-    import jax as _jax
+    from aligntools_tpu.backend import on_tpu
 
-    return 8 if _jax.default_backend() == "tpu" else 1
+    return 8 if on_tpu() else 1
 
 # --- packed pointer-byte fields (see module docstring) ---
 PK_M_LOW, PK_M_MID, PK_M_UPP, PK_M_JUMP, PK_M_HOME, PK_M_UNSET = 0, 1, 2, 3, 4, 7

@@ -29,8 +29,6 @@ path.
 
 from __future__ import annotations
 
-import jax
-
 # Flat Pallas kernel VMEM budget: 4-5 (8, n_pad) carry rows + temps per
 # tile; beyond this the column-blocked kernel (ops/pallas_blocked.py)
 # streams the target through VMEM in c_blk-wide blocks.
@@ -65,7 +63,9 @@ def flat_tile_b(batch: int, n_pad: int) -> int:
 
 
 def _on_tpu() -> bool:
-    return jax.default_backend() == "tpu"
+    from aligntools_tpu.backend import on_tpu
+
+    return on_tpu()
 
 
 def use_pallas(batch: int, m_pad: int, n_pad: int, mode: str = "local") -> bool:
@@ -74,8 +74,10 @@ def use_pallas(batch: int, m_pad: int, n_pad: int, mode: str = "local") -> bool:
     The XLA-wins window (batch >= bmin and n_pad <= nmax) comes from the
     per-device-kind calibration cache when one exists (``aligntools
     calibrate``; engine/autotune.py) and falls back to the v5e
-    measurements above (bmin=128, nmax=4096) otherwise."""
-    if jax.default_backend() != "tpu":
+    measurements above (bmin=128, nmax=4096) otherwise. Never raises:
+    a wedged device plugin degrades to the CPU answer (False) with one
+    warning (aligntools_tpu.backend)."""
+    if not _on_tpu():
         return False  # interpret-mode Pallas is only for tests
     if n_pad > PALLAS_FLAT_MAX_N_PAD and not use_blocked(mode, n_pad):
         return False  # overlap/edit beyond the flat kernel: XLA engine

@@ -34,6 +34,8 @@ import os
 
 import jax
 import jax.numpy as jnp
+
+from aligntools_tpu.backend import on_tpu as _on_tpu
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -81,13 +83,13 @@ def _twolevel() -> bool:
     if env is not None:
         return env == "1"
     try:
-        if jax.default_backend() == "tpu":
+        if _on_tpu():
             from aligntools_tpu.engine.autotune import table
 
             return bool(table().get("scan_twolevel", False))
     except Exception:
         pass
-    return jax.default_backend() != "tpu"
+    return not _on_tpu()
 
 
 def _scan_tail_twolevel(v, k, w, op, sent):
@@ -132,13 +134,16 @@ def _scan_tail_twolevel(v, k, w, op, sent):
 # integer >= 2 forces that many pre passes), then the per-device-kind
 # autotune table ("scan_pre", measured by `aligntools calibrate`), then
 # the default below.
-# Default 4: the convergence check spans the whole (tile_b, n) tile, and
-# a stage-1 failure needs a score drop > 2^pre * |slope| inside the check
-# window somewhere in the tile. For DNA defaults (match 1, e -1) at
-# 128x2048 lanes, window 16 (pre=3) trips on roughly half the rows while
-# window 32 (pre=4) almost never does — one extra pass buys a reliably
-# passing first check. `aligntools calibrate` replaces this with the
-# measured per-device value.
+# Default 4 OFF-TPU (interpret tests exercise the adaptive composition).
+# ON TPU the adaptive scan runs ONLY with a measured calibrate entry —
+# same gate as the two-level tail: an unmeasured data-dependent default
+# on the production fill path risks a silent regression if the lax.cond
+# convergence check costs more than the passes it skips (VERDICT r2 #2).
+# The pre-pass rationale: the convergence check spans the whole
+# (tile_b, n) tile, and a stage-1 failure needs a score drop >
+# 2^pre * |slope| inside the check window somewhere in the tile. For DNA
+# defaults (match 1, e -1) at 128x2048 lanes, window 16 (pre=3) trips on
+# roughly half the rows while window 32 (pre=4) almost never does.
 _PRE_DEFAULT = 4
 _PRE_OVERRIDE: int | None = None
 
@@ -150,13 +155,13 @@ def _scan_pre() -> int:
     if env not in ("", "1"):
         return max(0, int(env))
     try:
-        if jax.default_backend() == "tpu":
+        if _on_tpu():
             from aligntools_tpu.engine.autotune import table
 
-            return int(table().get("scan_pre", _PRE_DEFAULT))
+            return int(table().get("scan_pre", 0))  # off until measured
     except Exception:
         pass
-    return _PRE_DEFAULT
+    return _PRE_DEFAULT if not _on_tpu() else 0
 
 
 def _adaptive_scan(v, op, sent, pre):

@@ -43,6 +43,47 @@ except ImportError:  # bare system python: re-exec under the jax venv
 REF_SRC = "/root/reference/src"
 
 
+def _probe_backend() -> tuple[str, bool]:
+    """Name the backend to benchmark on, without ever hanging or raising.
+
+    The axon TPU plugin has two observed failure modes when its tunnel is
+    down: ``jax.default_backend()`` raises UNAVAILABLE (BENCH_r02's rc=1),
+    or device enumeration hangs for many minutes. Both are absorbed by
+    probing in a SUBPROCESS under a timeout, with one retry after a
+    backoff. On persistent failure the benchmark degrades to the CPU
+    backend (smaller workload, still a valid measurement) instead of
+    costing the round its number. Returns (backend, degraded)."""
+    if os.environ.get("BENCH_FORCE_CPU"):
+        return "cpu", False
+    for attempt in range(2):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; print(jax.default_backend())"],
+                capture_output=True, timeout=240, text=True,
+            )
+            name = r.stdout.strip().splitlines()[-1] if r.stdout.strip() else ""
+            if r.returncode == 0 and name:
+                return name, False
+            print(f"[bench] backend probe attempt {attempt + 1} failed "
+                  f"(rc={r.returncode}): {r.stderr.strip()[-300:]}",
+                  file=sys.stderr)
+        except subprocess.TimeoutExpired:
+            print(f"[bench] backend probe attempt {attempt + 1} timed out "
+                  "(240 s) — device enumeration hang", file=sys.stderr)
+        if attempt == 0:
+            time.sleep(30)
+    return "cpu", True
+
+
+def _force_cpu() -> None:
+    """Point the in-process jax platform at CPU (works even after a
+    failed axon init — the pytest-conftest pattern)."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+
 def _measure_reference_gcups(q: bytes, t: bytes) -> float | None:
     """Compile and time the reference binary on one pair (same shape)."""
     try:
@@ -71,6 +112,31 @@ def _measure_reference_gcups(q: bytes, t: bytes) -> float | None:
 
 
 def main():
+    backend, degraded = _probe_backend()
+    if backend == "cpu":
+        _force_cpu()
+    try:
+        _run(backend, degraded)
+    except Exception as err:
+        if backend != "cpu":
+            # flaky tunnel: the probe answered but the run died — salvage
+            # a CPU-degraded number rather than losing the round's evidence
+            print(f"[bench] {backend} run failed ({type(err).__name__}: "
+                  f"{err}); retrying on CPU", file=sys.stderr)
+            try:
+                _force_cpu()
+                _run("cpu", True)
+                return
+            except Exception as err2:
+                err = err2
+        print(json.dumps({
+            "metric": "sw_affine_gcups", "value": None, "unit": "GCUPS",
+            "vs_baseline": None, "backend": "unavailable",
+            "error": f"{type(err).__name__}: {err}",
+        }))
+
+
+def _run(backend: str, degraded: bool):
     import jax
     import jax.numpy as jnp
 
@@ -78,8 +144,11 @@ def main():
     from aligntools_tpu.engine.select import use_pallas
     from aligntools_tpu.ops.pallas_scan import pallas_scores
 
-    B = int(os.environ.get("BENCH_BATCH", "256"))
-    m_pad = n_pad = int(os.environ.get("BENCH_LEN", "2048"))
+    # CPU (native or degraded-fallback) runs shrink the workload: the XLA
+    # CPU backend fills ~1-3 GCUPS, so the TPU shape would take >1 h.
+    cpu = backend == "cpu"
+    B = int(os.environ.get("BENCH_BATCH", "16" if cpu else "256"))
+    m_pad = n_pad = int(os.environ.get("BENCH_LEN", "512" if cpu else "2048"))
     eng = os.environ.get("BENCH_ENGINE", "auto")
     if eng == "auto":
         eng = "pallas" if use_pallas(B, m_pad, n_pad) else "xla"
@@ -173,6 +242,8 @@ def main():
         "backend": jax.devices()[0].platform,
         "device": str(jax.devices()[0].device_kind),
     }
+    if degraded:
+        out["degraded"] = True  # device backend unavailable; CPU fallback
     print(json.dumps(out))
 
 

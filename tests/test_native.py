@@ -103,3 +103,30 @@ def test_parser_fuzz_no_crash(tmp_path):
             assert (a.name, a.comment, a.seq, a.qual) == (
                 b.name, b.comment, b.seq, b.qual,
             ), i
+
+
+def test_sanitizer_job(tmp_path):
+    """The ASan+UBSan corpus run (native/Makefile `sanitize`): parser fuzz
+    + walk corpus under -fno-sanitize-recover. Caught a real OOB read in
+    round 2 (commit fcd2545); running it in every CI pass keeps the
+    untrusted-gz-input parser honest (VERDICT r2 #5)."""
+    import shutil
+    import subprocess
+
+    if not shutil.which("g++"):
+        pytest.skip("no g++")
+    import os
+
+    mk = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "native")
+    # probe: ASan runtime present? (some minimal toolchains lack it)
+    probe = tmp_path / "asan_probe.cpp"
+    probe.write_text("int main(){return 0;}\n")
+    r = subprocess.run(
+        ["g++", "-fsanitize=address", "-o", str(tmp_path / "probe"),
+         str(probe)], capture_output=True)
+    if r.returncode != 0:
+        pytest.skip("ASan runtime unavailable")
+    r = subprocess.run(["make", "-C", mk, "sanitize"],
+                       capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
