@@ -3,7 +3,13 @@ backend. Writes one JSON object per row to stdout and a markdown table to
 benchmarks/RESULTS.md (pass --no-write to skip).
 
 All timings are amortized over K on-device-chained fills (see bench.py for
-why: the axon tunnel costs 30-90 ms per host call). Run:
+why: the axon tunnel costs 30-90 ms per host call). Each case runs in its
+OWN subprocess: the tunnel wedges long-lived multi-compile processes, and
+one wedged case must not take down the sweep. Every run also times the
+reference C binary live on this host (the same-run anchor): absolute
+GCUPS here drift +-2x across sessions with tunnel/host load, so rows are
+only comparable through their `ref x` ratio (vs the same-run reference)
+or engine-vs-engine within one run. Run:
 
     /opt/venv/bin/python benchmarks/suite.py
 """
@@ -215,9 +221,73 @@ def bench_banded(mode, engine, B, L, W, rng):
     return B * L * V / per / 1e9, per
 
 
-def main():
+def run_one_case(spec: str):
+    """--case mode: run ONE configuration in this process, print one JSON
+    row. Spec grammar:  flat:mode:engine:B:L | fitjump:engine:B:m:L |
+    banded:mode:engine:B:L:W"""
     rng = np.random.default_rng(0)
-    rows = []
+    f = spec.split(":")
+    if f[0] == "flat":
+        _, mode, engine, B, L = f
+        g, per = bench_case(mode, engine, int(B), int(L), rng)
+        row = {"case": f"{mode} {B}x{L}^2", "engine": engine}
+    elif f[0] == "fitjump":
+        _, engine, B, m, L = f
+        g, per = bench_fit_jump(engine, int(B), int(m), int(L), rng)
+        row = {"case": f"fit+jump {B}x({m}x{L})", "engine": engine}
+    elif f[0] == "banded":
+        _, mode, engine, B, L, W = f
+        g, per = bench_banded(mode, engine, int(B), int(L), int(W), rng)
+        row = {"case": f"banded {mode} {B}x{L} W={W}", "engine": engine,
+               "banded": True}
+    else:
+        sys.exit(f"unknown case spec {spec!r}")
+    row.update(gcups=round(g, 1), fill_ms=round(per * 1e3, 2))
+    print("ROW " + json.dumps(row), flush=True)
+
+
+def _case_specs(only):
+    specs = []
+    if only in (None, "banded"):
+        for mode in ("global", "edit"):
+            for B, L, W in ((64, 4096, 128), (256, 1024, 64)):
+                for engine in ("xla", "pallas"):
+                    specs.append(f"banded:{mode}:{engine}:{B}:{L}:{W}")
+    if only in (None, "flat"):
+        for mode in ("local", "global", "overlap", "edit"):
+            for B, L in ((256, 2048), (32, 8192)):
+                for engine in ("xla", "pallas"):
+                    specs.append(f"flat:{mode}:{engine}:{B}:{L}")
+        # fit with jump: the reference's marquee workload shapes
+        specs += ["fitjump:xla:64:512:32768",
+                  "fitjump:pallas:64:512:32768",
+                  "fitjump:blocked:8:2048:131072"]
+    return specs
+
+
+def _reference_anchor():
+    """Live same-run GCUPS of the reference C binary (one 2048^2 local
+    pair, its own single-core scalar regime) — the drift anchor every
+    row is normalized by."""
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from bench import _measure_reference_gcups
+
+    rng = np.random.default_rng(7)
+    alpha = np.frombuffer(b"ACGT", dtype=np.uint8)
+    return _measure_reference_gcups(
+        bytes(rng.choice(alpha, 2048).tolist()),
+        bytes(rng.choice(alpha, 2048).tolist()),
+    )
+
+
+def main():
+    import subprocess
+
+    if "--case" in sys.argv:
+        run_one_case(sys.argv[sys.argv.index("--case") + 1])
+        return
+
     only = None
     for a in sys.argv[1:]:
         if a.startswith("--only="):
@@ -225,67 +295,63 @@ def main():
             if only not in ("banded", "flat"):
                 sys.exit(f"unknown --only={only} (choices: banded, flat)")
 
-    def emit(row):
+    ref_gcups = _reference_anchor()
+    print(json.dumps({"reference_anchor_gcups":
+                      round(ref_gcups, 4) if ref_gcups else None}),
+          flush=True)
+
+    rows = []
+    for spec in _case_specs(only):
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--case", spec],
+            capture_output=True, text=True, timeout=1800,
+        )
+        row = None
+        for ln in r.stdout.splitlines():
+            if ln.startswith("ROW "):
+                row = json.loads(ln[4:])
+        if row is None:
+            tail = (r.stderr.strip() or r.stdout.strip())[-200:]
+            case = spec  # raw spec names the failed config unambiguously
+            row = {"case": case, "engine": spec.split(":")[2]
+                   if spec.split(":")[0] != "fitjump"
+                   else spec.split(":")[1],
+                   "error": f"rc={r.returncode}: {tail}"}
+        if "gcups" in row and ref_gcups:
+            row["ref_x"] = round(row["gcups"] / ref_gcups, 1)
         rows.append(row)
         print(json.dumps(row), flush=True)
 
-    if only == "flat":
-        pass  # fall through to the flat/blocked cases below
-    elif only in (None, "banded"):
-        for mode in ("global", "edit"):
-            for B, L, W in ((64, 4096, 128), (256, 1024, 64)):
-                for engine in ("xla", "pallas"):
-                    try:
-                        g, per = bench_banded(mode, engine, B, L, W, rng)
-                        emit({"case": f"banded {mode} {B}x{L} W={W}",
-                              "engine": engine, "gcups": round(g, 1),
-                              "fill_ms": round(per * 1e3, 2)})
-                    except Exception as err:
-                        emit({"case": f"banded {mode} {B}x{L} W={W}",
-                              "engine": engine, "error": str(err)[:120]})
-    if only == "banded":
-        return
-
-    for mode in ("local", "global", "overlap", "edit"):
-        for B, L in ((256, 2048), (32, 8192)):
-            for engine in ("xla", "pallas"):
-                try:
-                    g, per = bench_case(mode, engine, B, L, rng)
-                    emit({"case": f"{mode} {B}x{L}^2", "engine": engine,
-                          "gcups": round(g, 1),
-                          "fill_ms": round(per * 1e3, 2)})
-                except Exception as err:
-                    emit({"case": f"{mode} {B}x{L}^2", "engine": engine,
-                          "error": str(err)[:120]})
-    # fit with jump: the reference's marquee workload shapes
-    for engine, B, m, L in (
-        ("xla", 64, 512, 32768),
-        ("pallas", 64, 512, 32768),
-        ("blocked", 8, 2048, 131072),
-    ):
-        try:
-            g, per = bench_fit_jump(engine, B, m, L, rng)
-            emit({"case": f"fit+jump {B}x({m}x{L})", "engine": engine,
-                  "gcups": round(g, 1), "fill_ms": round(per * 1e3, 2)})
-        except Exception as err:
-            emit({"case": f"fit+jump {B}x({m}x{L})", "engine": engine,
-                  "error": str(err)[:120]})
-
     if "--no-write" not in sys.argv:
         dev = jax.devices()[0]
+        banded_note = (
+            "Banded fills (GCUPS counts band cells only, B*L*(2W+1) — "
+            "the work done)."
+        )
         lines = [
             "# Benchmark results",
             "",
             f"Backend: {dev.platform} ({dev.device_kind}); score-only "
-            "fills, amortized on-device timing (see bench.py).",
+            "fills, amortized on-device timing (see bench.py); one "
+            "subprocess per case.",
             "",
-            "| case | engine | GCUPS | fill ms |",
-            "|---|---|---|---|",
+            f"Same-run reference anchor: the reference C binary measured "
+            f"live on this host at {round(ref_gcups, 4) if ref_gcups else '?'} "
+            "GCUPS (2048^2 local). Absolute GCUPS drift +-2x across "
+            "sessions (host/tunnel load); compare rows via `ref x` "
+            "(same-run multiple of the reference) or engine-vs-engine "
+            "within this table only.",
+            "",
+            banded_note,
+            "",
+            "| case | engine | GCUPS | fill ms | ref x |",
+            "|---|---|---|---|---|",
         ]
         for r in rows:
             lines.append(
                 f"| {r['case']} | {r['engine']} | "
-                f"{r.get('gcups', 'ERR')} | {r.get('fill_ms', '-')} |"
+                f"{r.get('gcups', 'ERR')} | {r.get('fill_ms', '-')} | "
+                f"{r.get('ref_x', '-')} |"
             )
         out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "RESULTS.md")

@@ -10,7 +10,12 @@ and asserts score equality everywhere plus alignment-row equality wherever
 the reference's own output is self-consistent (its strrev heap overflow
 can corrupt printed rows; see QUIRKS.md). Writes a summary to stdout.
 
-Usage: /opt/venv/bin/python tools/validate.py [n_per_case]
+Usage: /opt/venv/bin/python tools/validate.py [n_per_case] [--section S]
+
+Sections: main (spec/scan/Pallas vs reference), banded-full, rescan,
+banded-auto, seqpar. With no --section, every section runs in its own
+subprocess — XLA:CPU can segfault after ~170 distinct executables in one
+process (see pyproject addopts), and the campaign compiles many.
 """
 
 from __future__ import annotations
@@ -82,18 +87,10 @@ def rows_sane(r1, r2, q, t, mode):
     return u1 in q and u2 in t
 
 
-def main():
-    from aligntools_tpu.batch import batch_scores
-    from aligntools_tpu.engine.scan import scan_align
-    from aligntools_tpu.params import AlignParams
-    from aligntools_tpu.spec import engine as spec
+KINDS = ["dna", "binary", "homopolymer", "protein"]
 
-    n_per = int(sys.argv[1]) if len(sys.argv) > 1 else 120
-    tmp = tempfile.mkdtemp(prefix="validate")
-    binary = build_reference(tmp)
-    rng = np.random.default_rng(2026)
-    stats = {"cases": 0, "ref_crash": 0, "rows_insane": 0}
 
+def make_ref_runner(binary):
     def run_ref(args):
         # bytes + latin-1: the reference's strrev heap overflow can emit
         # arbitrary garbage bytes (QUIRKS.md), which is not valid UTF-8
@@ -102,7 +99,63 @@ def main():
                  if ln != "asDAsdaSDAsdasDAsdaSD"]
         return lines, r.returncode
 
-    kinds = ["dna", "binary", "homopolymer", "protein"]
+    return run_ref
+
+
+def gen_case(rng, mode, k, tmp, max_m=100, max_n=140, sites_ok=True):
+    """One randomized case: (q, t, params, sites, fa_path, ref_cmd)."""
+    from aligntools_tpu.params import AlignParams
+
+    kind = KINDS[k % len(KINDS)]
+    pd = PARAM_SETS[k % len(PARAM_SETS)]
+    p = AlignParams(**pd)
+    q = gen_seq(rng, kind, 1, max_m)
+    t = gen_seq(rng, kind, len(q) if mode == "fit" else 1, max_n)
+    if mode == "fit" and len(t) < len(q):
+        t = t + gen_seq(rng, kind, len(q) - len(t), len(q) - len(t))
+    sites = None
+    fa = os.path.join(tmp, "pair.fa")
+    hdr2 = ">t"
+    args = []
+    if mode == "fit" and k % 2 and sites_ok:
+        sites = sorted(int(x) for x in rng.integers(0, len(t), 4))
+        hdr2 = ">t " + "|".join(map(str, sites))
+        args = ["-s"]
+    with open(fa, "w") as f:
+        f.write(f">q\n{q.decode()}\n{hdr2}\n{t.decode()}\n")
+    if mode == "overlap":
+        cmd = [mode, fa]  # argv[1] bug: no options possible
+        p = AlignParams()
+    elif mode == "edit":
+        cmd = [mode, "-m", str(p.match), "-u", str(p.mismatch), fa]
+    else:
+        cmd = [mode, "-m", str(p.match), "-u", str(p.mismatch),
+               "-o", str(p.gap_open), "-e", str(p.gap_extend), *args, fa]
+    return q, t, p, sites, fa, cmd
+
+
+def ref_score_rows(lines, mode):
+    """(score, row1, row2 | None, None) from reference stdout lines."""
+    if mode == "edit":
+        return float(lines[-1].split("=")[-1]), None, None
+    score_line = (lines[0] if mode == "overlap" else
+                  next(ln for ln in lines if ln.startswith("score=")))
+    idx = lines.index(score_line)
+    return (float(score_line.split("=")[-1]),
+            lines[idx + 1], lines[idx + 2])
+
+
+def section_main(n_per, tmp, binary):
+    from aligntools_tpu.batch import batch_scores
+    from aligntools_tpu.engine.scan import scan_align
+    from aligntools_tpu.params import AlignParams
+    from aligntools_tpu.spec import engine as spec
+
+    rng = np.random.default_rng(2026)
+    stats = {"cases": 0, "ref_crash": 0, "rows_insane": 0}
+    run_ref = make_ref_runner(binary)
+
+    kinds = KINDS
     for mode in ("global", "local", "edit", "fit", "overlap"):
         pallas_batch = []
         for k in range(n_per):
@@ -190,10 +243,26 @@ def main():
                     mode, pi, with_sites,
                 )
         print(f"{mode}: OK ({n_per} cases)", flush=True)
+    print(
+        f"[main] {stats['cases']} reference comparisons, "
+        f"{stats['ref_crash']} reference crashes skipped (its strrev "
+        f"overflow), {stats['rows_insane']} reference row outputs "
+        f"corrupt/skipped; every score matched and every self-consistent "
+        f"reference alignment matched byte-for-byte across spec, scan "
+        f"engine, and Pallas kernels.", flush=True,
+    )
+    return stats
+
+
+def section_banded_full(n_per, tmp, binary):
     # banded engine at FULL band (band >= max(m, n) covers the whole
     # matrix, so rows must be byte-identical to the spec — including all
     # window-coordinate tie-breaks); tie-heavy binary alphabet included
     from aligntools_tpu.engine.banded import banded_align_batch
+    from aligntools_tpu.params import AlignParams
+    from aligntools_tpu.spec import engine as spec
+
+    kinds = KINDS
 
     rng2 = np.random.default_rng(77)
     for mode in ("global", "local", "fit", "overlap"):
@@ -215,13 +284,157 @@ def main():
                 w.score, w.row1, w.row2,
             ), ("banded", mode, q, t)
         print(f"banded {mode} rows: OK ({len(prs)} cases)", flush=True)
+
+
+def section_rescan(n_per, tmp, binary):
+    """Checkpoint-rescan traceback vs the live reference binary AND the
+    spec oracle. Small strides force multiple row blocks, exercising the
+    checkpoint/rescan machinery (engine/rescan.py) on every case."""
+    from aligntools_tpu.engine.rescan import rescan_align
+    from aligntools_tpu.spec import engine as spec
+
+    rng = np.random.default_rng(31)
+    run_ref = make_ref_runner(binary)
+    n = max(12, n_per // 8)
+    for mode in ("global", "local", "fit", "overlap"):
+        checked = 0
+        for k in range(n):
+            q, t, p, sites, fa, cmd = gen_case(rng, mode, k, tmp)
+            lines, rc = run_ref(cmd)
+            if rc != 0:
+                continue
+            ref_s, rr1, rr2 = ref_score_rows(lines, mode)
+            w = (spec.spec_fit(q, t, p, sites) if mode == "fit"
+                 else getattr(spec, f"spec_{mode}")(q, t, p))
+            stride = (8, 16, 24)[k % 3]
+            g = rescan_align(mode, q, t, p, sites, stride=stride)
+            assert g.score == ref_s == w.score, ("rescan", mode, k, q, t)
+            if rows_sane(rr1, rr2, q.decode(), t.decode(), mode):
+                assert (g.row1.decode(), g.row2.decode()) == (rr1, rr2), (
+                    "rescan", mode, k, q, t, stride)
+            assert (g.row1, g.row2) == (w.row1, w.row2), (
+                "rescan-vs-spec", mode, k, q, t, stride)
+            checked += 1
+        print(f"rescan {mode}: OK ({checked}/{n} cases, strides 8/16/24)",
+              flush=True)
+
+
+def section_banded_auto(n_per, tmp, binary):
+    """Certificate-driven auto-banded scores vs the live reference binary.
+
+    banded_score_auto doubles the band until the certificate discharges
+    (or the band covers the matrix), so its score must equal the exact
+    unbanded score on EVERY input — including the tie-heavy alphabets
+    that defeat plateau heuristics (tests/test_banded.py)."""
+    from aligntools_tpu.engine.banded import banded_score_auto
+
+    rng = np.random.default_rng(47)
+    run_ref = make_ref_runner(binary)
+    n = max(12, n_per // 8)
+    for mode in ("global", "local", "fit", "overlap", "edit"):
+        checked = 0
+        bands = []
+        for k in range(n):
+            # the banded engine has no fit jump state (pipeline.py:87
+            # rejects --band with -s), so sites are never generated here
+            q, t, p, sites, fa, cmd = gen_case(rng, mode, k, tmp,
+                                               sites_ok=False)
+            lines, rc = run_ref(cmd)
+            if rc != 0:
+                continue
+            ref_s, _, _ = ref_score_rows(lines, mode)
+            score, band, cert = banded_score_auto(mode, q, t, p)
+            assert cert, ("banded-auto-uncertified", mode, k)
+            assert float(score) == ref_s, (
+                "banded-auto", mode, k, q, t, band)
+            bands.append(band)
+            checked += 1
+        print(f"banded-auto {mode}: OK ({checked}/{n} cases, "
+              f"final bands {min(bands)}-{max(bands)})", flush=True)
+
+
+def section_seqpar(n_per, tmp, binary):
+    """Sequence-parallel FULL alignments (target sharded over the mesh)
+    vs the live reference binary and the spec oracle. Runs on whatever
+    devices the process sees — the wrapper re-execs with 8 virtual CPU
+    devices so the shard_map path is real, not degenerate."""
+    import jax
+
+    from aligntools_tpu.parallel.seqpar import seqpar_align
+    from aligntools_tpu.spec import engine as spec
+
+    print(f"[seqpar] devices: {jax.device_count()}", flush=True)
+    rng = np.random.default_rng(59)
+    run_ref = make_ref_runner(binary)
+    n = max(8, n_per // 15)
+    for mode in ("global", "local", "fit", "overlap"):
+        checked = 0
+        for k in range(n):
+            q, t, p, sites, fa, cmd = gen_case(rng, mode, k, tmp,
+                                               max_m=60, max_n=120)
+            lines, rc = run_ref(cmd)
+            if rc != 0:
+                continue
+            ref_s, rr1, rr2 = ref_score_rows(lines, mode)
+            w = (spec.spec_fit(q, t, p, sites) if mode == "fit"
+                 else getattr(spec, f"spec_{mode}")(q, t, p))
+            g = seqpar_align(mode, q, t, p, sites)
+            assert g.score == ref_s == w.score, ("seqpar", mode, k, q, t)
+            if rows_sane(rr1, rr2, q.decode(), t.decode(), mode):
+                assert (g.row1.decode(), g.row2.decode()) == (rr1, rr2), (
+                    "seqpar", mode, k, q, t)
+            assert (g.row1, g.row2) == (w.row1, w.row2), (
+                "seqpar-vs-spec", mode, k, q, t)
+            checked += 1
+        print(f"seqpar {mode}: OK ({checked}/{n} cases)", flush=True)
+
+
+SECTIONS = {
+    "main": section_main,
+    "banded-full": section_banded_full,
+    "rescan": section_rescan,
+    "banded-auto": section_banded_auto,
+    "seqpar": section_seqpar,
+}
+
+
+def main():
+    args = [a for a in sys.argv[1:]]
+    section = None
+    if "--section" in args:
+        i = args.index("--section")
+        section = args[i + 1]
+        del args[i:i + 2]
+    n_per = int(args[0]) if args else 120
+
+    if section is not None:
+        tmp = tempfile.mkdtemp(prefix="validate")
+        binary = build_reference(tmp)
+        SECTIONS[section](n_per, tmp, binary)
+        return
+
+    # no section: run each in its own subprocess (executable-count
+    # isolation); seqpar additionally gets 8 virtual CPU devices
+    failed = []
+    for name in SECTIONS:
+        env = dict(os.environ)
+        if name == "seqpar":
+            env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "") +
+                                " --xla_force_host_platform_device_count=8"
+                                ).strip()
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), str(n_per),
+             "--section", name], env=env)
+        if r.returncode != 0:
+            failed.append(name)
+            print(f"SECTION FAILED: {name}", flush=True)
+    if failed:
+        print(f"VALIDATION FAILED: sections {failed}")
+        sys.exit(1)
     print(
-        f"VALIDATION PASSED: {stats['cases']} reference comparisons, "
-        f"{stats['ref_crash']} reference crashes skipped (its strrev "
-        f"overflow), {stats['rows_insane']} reference row outputs "
-        f"corrupt/skipped; every score matched and every self-consistent "
-        f"reference alignment matched byte-for-byte across spec, scan "
-        f"engine, and Pallas kernels."
+        "VALIDATION PASSED: spec/scan/Pallas (vs reference binary), "
+        "banded-full rows, rescan rows, certificate-driven banded-auto "
+        "scores, and seqpar full rows all byte/score-identical."
     )
 
 
