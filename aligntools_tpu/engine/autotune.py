@@ -44,6 +44,8 @@ from __future__ import annotations
 import json
 import os
 import re
+import subprocess
+import sys
 import time
 
 from aligntools_tpu.backend import backend_name as _backend_name
@@ -236,6 +238,58 @@ def _bench_flat_tile(tile, batch=256, n_pad=2048):
     return _chain_amortized(one, qs)
 
 
+PROBE_TIMEOUT = 900
+
+
+def _run_probe_spec(spec: str) -> dict:
+    """In-process measurement for one probe spec (called in the probe
+    SUBPROCESS). Grammar: pair:B:N | banded:B:L:W | flattile:T |
+    flatlong:T:B:N."""
+    f = spec.split(":")
+    if f[0] == "pair":
+        tx, tp = _bench_pair(int(f[1]), int(f[2]))
+        return {"xla": tx, "pallas": tp}
+    if f[0] == "banded":
+        tx, tp = _bench_banded_pair(int(f[1]), int(f[2]), int(f[3]))
+        return {"xla": tx, "pallas": tp}
+    if f[0] == "flattile":
+        return {"s": _bench_flat_tile(int(f[1]))}
+    if f[0] == "flatlong":
+        return {"s": _bench_flat_tile(int(f[1]), batch=int(f[2]),
+                                      n_pad=int(f[3]))}
+    raise ValueError(f"unknown probe spec {spec!r}")
+
+
+def _probe(spec: str, env_extra: dict | None = None, log=print):
+    """One probe in a FRESH subprocess. The axon tunnel wedges long-lived
+    multi-compile processes (observed round 2: calibrate and multi-config
+    probe runs hang after ~10 compiles), so each configuration gets its
+    own process and its own timeout; a wedged probe costs PROBE_TIMEOUT
+    seconds, not the whole calibration. Scan-strategy overrides ride the
+    existing env knobs (ALIGNTOOLS_ADAPTIVE_SCAN / _TWOLEVEL_SCAN), which
+    the kernels read at trace time in the child — no cache-clearing
+    dance. Returns the probe's dict, or None on failure."""
+    import subprocess
+
+    env = dict(os.environ)
+    env.update(env_extra or {})
+    try:
+        r = subprocess.run(
+            [sys.executable, "-m", "aligntools_tpu.engine.autotune",
+             "--probe", spec],
+            capture_output=True, text=True, timeout=PROBE_TIMEOUT, env=env,
+        )
+    except subprocess.TimeoutExpired:
+        log(f"  probe {spec} TIMED OUT ({PROBE_TIMEOUT}s) — tunnel wedge?")
+        return None
+    for ln in r.stdout.splitlines():
+        if ln.startswith("RESULT "):
+            return json.loads(ln[7:])
+    log(f"  probe {spec} failed rc={r.returncode}: "
+        f"{(r.stderr or r.stdout)[-200:].strip()}")
+    return None
+
+
 def calibrate(force: bool = False, log=print) -> dict:
     """Measure the crossover table on the current device and cache it.
     Returns the table. No-op (returns the cached table) unless ``force``
@@ -259,7 +313,10 @@ def calibrate(force: bool = False, log=print) -> dict:
     # 1. batch threshold at n_pad 2048
     bmin = None
     for batch in (32, 64, 128, 256):
-        tx, tp = _bench_pair(batch, 2048)
+        d = _probe(f"pair:{batch}:2048", log=log)
+        if d is None:
+            continue  # failed probe: this batch contributes no evidence
+        tx, tp = d["xla"], d["pallas"]
         result["measured"][f"b{batch}_n2048"] = {"xla": tx, "pallas": tp}
         log(f"  batch {batch:4d} x 2048^2: xla {tx*1e3:8.2f} ms  "
             f"pallas {tp*1e3:8.2f} ms")
@@ -270,7 +327,10 @@ def calibrate(force: bool = False, log=print) -> dict:
     nmax = 0
     if bmin < 1 << 30:
         for n_pad in (2048, 4096, 8192):
-            tx, tp = _bench_pair(256, n_pad)
+            d = _probe(f"pair:256:{n_pad}", log=log)
+            if d is None:
+                continue
+            tx, tp = d["xla"], d["pallas"]
             result["measured"][f"b256_n{n_pad}"] = {"xla": tx, "pallas": tp}
             log(f"  batch  256 x {n_pad}^2: xla {tx*1e3:8.2f} ms  "
                 f"pallas {tp*1e3:8.2f} ms")
@@ -281,85 +341,78 @@ def calibrate(force: bool = False, log=print) -> dict:
     # Stages 3/4 are individually fenced: a probe that cannot run on
     # this device (e.g. a tile width over a VMEM limit) must not discard
     # the minutes of measurements above — failed fields keep defaults.
-    try:
-        # 3. banded crossover: smallest batch where the XLA fill wins
-        banded_bmin = None
-        for batch in (32, 64, 128, 256):
-            tx, tp = _bench_banded_pair(batch, 2048, 64)
-            result["measured"][f"banded_b{batch}"] = {"xla": tx, "pallas": tp}
-            log(f"  banded b{batch:4d} x 2048 W=64: xla {tx*1e3:8.2f} ms  "
-                f"pallas {tp*1e3:8.2f} ms")
-            if tx < tp and banded_bmin is None:
-                banded_bmin = batch
+    # 3. banded crossover: smallest batch where the XLA fill wins
+    banded_bmin = None
+    banded_any = False
+    for batch in (32, 64, 128, 256):
+        d = _probe(f"banded:{batch}:2048:64", log=log)
+        if d is None:
+            continue
+        banded_any = True
+        tx, tp = d["xla"], d["pallas"]
+        result["measured"][f"banded_b{batch}"] = {"xla": tx, "pallas": tp}
+        log(f"  banded b{batch:4d} x 2048 W=64: xla {tx*1e3:8.2f} ms  "
+            f"pallas {tp*1e3:8.2f} ms")
+        if tx < tp and banded_bmin is None:
+            banded_bmin = batch
+    if banded_any:
         result["banded_bmin"] = int(
             banded_bmin if banded_bmin is not None else 1 << 30
         )
-    except Exception as err:
-        log(f"  banded calibration failed ({err}); keeping bmin fallback")
+    else:
+        log("  banded calibration failed entirely; keeping bmin fallback")
     # 4. flat kernel batch-tile ceiling (128 vs 256 at the sweet spot)
-    try:
-        t128 = _bench_flat_tile(128)
-        t256 = _bench_flat_tile(256)
+    d128 = _probe("flattile:128", log=log)
+    d256 = _probe("flattile:256", log=log)
+    if d128 and d256:
+        t128, t256 = d128["s"], d256["s"]
         result["measured"]["flat_tile"] = {"t128": t128, "t256": t256}
         log(f"  flat tile 128: {t128*1e3:8.2f} ms   256: {t256*1e3:8.2f} ms")
         result["flat_tile_cap"] = 256 if t256 < t128 else 128
-    except Exception as err:
-        log(f"  flat-tile calibration failed ({err}); keeping cap 128")
-    # 5. adaptive-scan pre-pass count (0 = early exit disabled). The
-    #    override is read at trace time, so the kernel jit caches must be
-    #    cleared between probes.
-    try:
-        from aligntools_tpu.ops import pallas_scan as pk
-
-        timings = {}
-        for pre in (0, 2, 3, 4, 5):
-            pk._PRE_OVERRIDE = pre
-            pk.pallas_scores.clear_cache()
-            timings[pre] = _bench_flat_tile(128)
-            log(f"  scan_pre {pre}: {timings[pre]*1e3:8.2f} ms")
+    else:
+        log("  flat-tile calibration failed; keeping cap 128")
+    # 5. adaptive-scan pre-pass count (0 = early exit disabled). Each
+    #    probe child pins the strategy via ALIGNTOOLS_ADAPTIVE_SCAN (read
+    #    at trace time); twolevel pinned off to isolate the variable.
+    timings = {}
+    for pre in (0, 2, 3, 4, 5):
+        d = _probe("flattile:128", log=log, env_extra={
+            "ALIGNTOOLS_ADAPTIVE_SCAN": str(pre) if pre else "0",
+            "ALIGNTOOLS_TWOLEVEL_SCAN": "0",
+        })
+        if d is None:
+            continue
+        timings[pre] = d["s"]
+        log(f"  scan_pre {pre}: {timings[pre]*1e3:8.2f} ms")
+    if timings:
         result["measured"]["scan_pre"] = {
             str(k): v for k, v in timings.items()
         }
         result["scan_pre"] = min(timings, key=timings.get)
-    except Exception as err:
-        log(f"  scan-pre calibration failed ({err}); keeping default")
-    finally:
-        try:
-            from aligntools_tpu.ops import pallas_scan as pk
-
-            pk._PRE_OVERRIDE = None
-            pk.pallas_scores.clear_cache()
-        except Exception:
-            pass
+    else:
+        log("  scan-pre calibration failed; keeping default")
     # 6. two-level scan tail on/off at a long-row shape (the J scans and
     #    the adaptive checks' failure path pay the full tail there). A
-    #    Mosaic compile failure of the strided block-extract lands in the
-    #    except: the flag simply stays off.
-    try:
-        from aligntools_tpu.ops import pallas_scan as pk
-
-        pk._PRE_OVERRIDE = result.get("scan_pre")
-        tl_ms = {}
-        for tl in (False, True):
-            pk._TWOLEVEL_OVERRIDE = tl
-            pk.pallas_scores.clear_cache()
-            tl_ms[tl] = _bench_flat_tile(32, batch=32, n_pad=8192)
-            log(f"  twolevel={tl}: {tl_ms[tl]*1e3:8.2f} ms (32x8192)")
+    #    Mosaic compile failure of the strided block-extract fails that
+    #    probe child only: the flag simply stays off.
+    pre_env = str(result.get("scan_pre") or 0) or "0"
+    tl_ms = {}
+    for tl in (False, True):
+        d = _probe("flatlong:32:32:8192", log=log, env_extra={
+            "ALIGNTOOLS_ADAPTIVE_SCAN": pre_env if pre_env != "0" else "0",
+            "ALIGNTOOLS_TWOLEVEL_SCAN": "1" if tl else "0",
+        })
+        if d is None:
+            continue
+        tl_ms[tl] = d["s"]
+        log(f"  twolevel={tl}: {tl_ms[tl]*1e3:8.2f} ms (32x8192)")
+    if len(tl_ms) == 2:
         result["measured"]["scan_twolevel"] = {
             str(k): v for k, v in tl_ms.items()
         }
         result["scan_twolevel"] = bool(tl_ms[True] < tl_ms[False])
-    except Exception as err:
-        log(f"  twolevel calibration failed ({err}); flag stays off")
-    finally:
-        try:
-            from aligntools_tpu.ops import pallas_scan as pk
-
-            pk._PRE_OVERRIDE = None
-            pk._TWOLEVEL_OVERRIDE = None
-            pk.pallas_scores.clear_cache()
-        except Exception:
-            pass
+    else:
+        log("  twolevel calibration incomplete; flag stays off")
     os.makedirs(os.path.dirname(path), exist_ok=True)
     tmp = path + ".tmp"
     with open(tmp, "w") as f:
@@ -369,3 +422,14 @@ def calibrate(force: bool = False, log=print) -> dict:
     log(f"calibrated {result['device_kind']}: XLA engine wins iff "
         f"batch >= {result['bmin']} and n_pad <= {result['nmax']} -> {path}")
     return table()
+
+
+if __name__ == "__main__":
+    # probe-child entry: `python -m aligntools_tpu.engine.autotune --probe
+    # SPEC` measures ONE configuration and prints `RESULT {json}`.
+    if len(sys.argv) == 3 and sys.argv[1] == "--probe":
+        print("RESULT " + json.dumps(_run_probe_spec(sys.argv[2])),
+              flush=True)
+    else:
+        sys.exit("usage: python -m aligntools_tpu.engine.autotune "
+                 "--probe SPEC")

@@ -67,3 +67,32 @@ def test_table_values_drive_routing(tmp_path, monkeypatch):
     assert not (64 >= t["bmin"] and 2048 <= t["nmax"])  # pallas wins
     assert 64 >= t["bmin"] and 1024 <= t["nmax"]  # xla wins
     _reset()
+
+
+def test_probe_subprocess_parsing(monkeypatch):
+    """calibrate's per-probe subprocess wrapper: parses RESULT lines,
+    degrades to None on rc!=0 / timeout / garbage (a wedged tunnel probe
+    must cost one timeout, not the calibration)."""
+    import subprocess
+    import types
+
+    from aligntools_tpu.engine import autotune
+
+    def fake_run(cmd, **kw):
+        spec = cmd[-1]
+        if spec == "ok:1":
+            return types.SimpleNamespace(
+                returncode=0, stdout='noise\nRESULT {"s": 0.25}\n',
+                stderr="")
+        if spec == "bad:1":
+            return types.SimpleNamespace(returncode=1, stdout="",
+                                         stderr="boom")
+        raise subprocess.TimeoutExpired(cmd, kw.get("timeout", 0))
+
+    monkeypatch.setattr(autotune.subprocess, "run", fake_run, raising=False)
+    logs = []
+    assert autotune._probe("ok:1", log=logs.append) == {"s": 0.25}
+    assert autotune._probe("bad:1", log=logs.append) is None
+    assert autotune._probe("hang:1", log=logs.append) is None
+    assert any("TIMED OUT" in m for m in logs)
+    assert any("failed rc=1" in m for m in logs)
