@@ -54,6 +54,16 @@ def _scan_pass(v, k, op, sent):
     return op(v, jnp.concatenate([pad, v[:, :-k]], axis=1))
 
 
+def _danger_scan_cap() -> int | None:
+    """ALIGNTOOLS_DANGER_SCAN_CAP=N truncates every in-row scan tail to
+    at most N doubling passes. SCORES BECOME WRONG — this exists solely
+    so benchmarks/decompose_flat.py can measure what fraction of the
+    kernel's time the Hillis-Steele passes cost (VERDICT r2 #3 roofline
+    decomposition). Never set it outside that probe."""
+    env = os.environ.get("ALIGNTOOLS_DANGER_SCAN_CAP")
+    return int(env) if env else None
+
+
 def _scan_tail(v, k, w, op, sent):
     """Finish a prefix scan whose lanes currently hold exact windows of
     size ``k``: doubling passes k, 2k, ... up to width w — or, when
@@ -61,9 +71,12 @@ def _scan_tail(v, k, w, op, sent):
     passes past window 128 with a NARROW cross-block scan."""
     if _twolevel() and w % _BLK == 0 and k <= _BLK and w > _BLK:
         return _scan_tail_twolevel(v, k, w, op, sent)
-    while k < w:
+    cap = _danger_scan_cap()
+    done = 0
+    while k < w and (cap is None or done < cap):
         v = _scan_pass(v, k, op, sent)
         k *= 2
+        done += 1
     return v
 
 

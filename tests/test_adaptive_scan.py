@@ -133,3 +133,29 @@ def test_kernels_identical_with_and_without_adaptive(monkeypatch):
     ps.pallas_scores.clear_cache()
     for mode in results[3]:
         assert np.array_equal(results[3][mode], results[0][mode]), mode
+
+
+def test_danger_scan_cap_truncates(monkeypatch):
+    """ALIGNTOOLS_DANGER_SCAN_CAP (timing-decomposition knob,
+    benchmarks/decompose_flat.py): a full-size cap is a no-op; cap=1
+    actually truncates (scores go wrong by design). Guards the plumbing
+    so the decomposition measures what it claims."""
+    rng = np.random.default_rng(3)
+    v = rng.normal(0, 10, (8, 64)).astype(np.float32)
+    v[0, 0] = 1e6  # must propagate the full width when uncapped
+    want = _np_cummax(v)
+
+    monkeypatch.setenv("ALIGNTOOLS_DANGER_SCAN_CAP", "6")  # log2(64)
+    got = np.asarray(ps._scan_tail(jnp.asarray(v), 1, 64, jnp.maximum,
+                                   ps.NEG))
+    assert np.array_equal(got, want)
+
+    monkeypatch.setenv("ALIGNTOOLS_DANGER_SCAN_CAP", "1")
+    got1 = np.asarray(ps._scan_tail(jnp.asarray(v), 1, 64, jnp.maximum,
+                                    ps.NEG))
+    assert not np.array_equal(got1, want)
+
+    monkeypatch.delenv("ALIGNTOOLS_DANGER_SCAN_CAP")
+    got_full = np.asarray(ps._scan_tail(jnp.asarray(v), 1, 64, jnp.maximum,
+                                        ps.NEG))
+    assert np.array_equal(got_full, want)

@@ -35,6 +35,9 @@ step "tpu_check (bit-equality on hardware)"
 timeout 3600 $PY tools/tpu_check.py || { echo "tpu_check FAIL"; exit 1; }
 
 if [ "$MODE" = "full" ]; then
+  step "flat-kernel roofline decomposition (scan-pass share at the XLA sweet spot)"
+  timeout 3600 $PY benchmarks/decompose_flat.py local 256 2048 || echo "decompose FAIL"
+
   step "calibrate --force (per-device crossover table)"
   timeout 3600 $PY -m aligntools_tpu.cli calibrate --force || echo "calibrate FAIL"
 
