@@ -106,3 +106,34 @@ def test_overlap_options_divergence(capsys, tmp_path):
     # AAAA vs GGAA: 2 mismatches (-2 each) + 2 matches (+3 each) = 2; matches
     # spec_overlap (overlap has no free t-prefix: row0 is -inf, only col0=0).
     assert ours[0] == "2.000000"
+
+
+def test_cold_single_pair_cli_is_jax_free(tmp_path):
+    """The spec-routed single-pair CLI must never import jax (the import
+    costs ~2.2 s — VERDICT r2 #7; cold floor now ~0.4 s). Run in a fresh
+    interpreter with the axon gate cleared so sitecustomize stays inert,
+    then assert jax was never pulled in."""
+    import os
+    import subprocess
+    import sys
+
+    fa = tmp_path / "p.fa"
+    fa.write_text(">q\nACGTACGT\n>t\nACGTTACGT\n")
+    env = dict(os.environ)
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    env.pop("JAX_PLATFORMS", None)
+    code = (
+        "import sys\n"
+        "from aligntools_tpu.cli import main\n"
+        f"rc = main(['aligntools', 'global', {str(fa)!r}])\n"
+        "assert rc == 0, rc\n"
+        "assert 'jax' not in sys.modules, 'jax imported on the spec path'\n"
+        "print('JAXFREE OK')\n"
+    )
+    r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                       text=True, timeout=120, env=env,
+                       cwd=os.path.dirname(os.path.dirname(
+                           os.path.abspath(__file__))))
+    assert r.returncode == 0, r.stderr[-800:]
+    assert "JAXFREE OK" in r.stdout
+    assert "score=" in r.stdout
