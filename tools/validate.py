@@ -389,12 +389,59 @@ def section_seqpar(n_per, tmp, binary):
         print(f"seqpar {mode}: OK ({checked}/{n} cases)", flush=True)
 
 
+def section_native_cli(n_per, tmp, binary):
+    """The native C++ single-pair CLI (native/aligntools_cli) vs the live
+    reference binary on the full randomized distribution: stdout score
+    lines always equal; full stdout equal when the reference's own rows
+    are self-consistent (its strrev overflow corrupts some)."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    ndir = os.path.join(repo, "native")
+    r = subprocess.run(["make", "-C", ndir, "aligntools_cli"],
+                       capture_output=True, text=True, timeout=300)
+    if r.returncode != 0:
+        print(f"[native-cli] build failed, section skipped: "
+              f"{r.stderr[-200:]}", flush=True)
+        return
+    ncli = os.path.join(ndir, "aligntools_cli")
+    rng = np.random.default_rng(83)
+    run_ref = make_ref_runner(binary)
+    n = max(24, n_per // 2)
+    for mode in ("global", "local", "edit", "fit", "overlap"):
+        checked = rows_checked = 0
+        for k in range(n):
+            q, t, p, sites, fa, cmd = gen_case(rng, mode, k, tmp)
+            lines, rc = run_ref(cmd)
+            if rc != 0:
+                continue
+            rn = subprocess.run([ncli, *cmd], capture_output=True,
+                                timeout=120)
+            nlines = rn.stdout.decode("latin-1").splitlines()
+            assert rn.returncode == 0, ("native-cli", mode, k, rn.stderr)
+            if mode == "edit":
+                assert nlines == lines, ("native-cli", mode, k, q, t)
+            else:
+                score_line = (lines[0] if mode == "overlap" else
+                              next(ln for ln in lines
+                                   if ln.startswith("score=")))
+                idx = lines.index(score_line)
+                assert nlines[idx] == score_line, (
+                    "native-cli", mode, k, q, t)
+                rr1, rr2 = lines[idx + 1], lines[idx + 2]
+                if rows_sane(rr1, rr2, q.decode(), t.decode(), mode):
+                    assert nlines == lines, ("native-cli", mode, k, q, t)
+                    rows_checked += 1
+            checked += 1
+        print(f"native-cli {mode}: OK ({checked}/{n} cases, "
+              f"{rows_checked} full-stdout)", flush=True)
+
+
 SECTIONS = {
     "main": section_main,
     "banded-full": section_banded_full,
     "rescan": section_rescan,
     "banded-auto": section_banded_auto,
     "seqpar": section_seqpar,
+    "native-cli": section_native_cli,
 }
 
 
