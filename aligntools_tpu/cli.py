@@ -295,6 +295,8 @@ def _maybe_exec_native(argv: list[str]) -> None:
     falls through silently to the Python engines."""
     if os.environ.get("ALIGNTOOLS_NO_NATIVE"):
         return
+    if os.environ.get("ALIGNTOOLS_DEVICE", "cpu") != "cpu":
+        return  # explicit device request: route through the jax engines
     ndir = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), os.pardir, "native"
     )

@@ -191,3 +191,27 @@ def test_exec_fast_path_fires(native_cli, tmp_path):
     assert r2.returncode == 0
     assert "[native-cli]" not in r2.stderr
     assert r2.stdout == r.stdout  # same bytes either way
+
+
+def test_exec_skipped_on_device_override(native_cli, tmp_path):
+    """ALIGNTOOLS_DEVICE=tpu requests the jax engines for a single pair;
+    the native CPU fast path must step aside."""
+    fa = _write_pair(tmp_path, "ACGTAC", "ACGTTAC")
+    env = dict(os.environ)
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    env["ALIGNTOOLS_NATIVE_CLI_MARK"] = "1"
+    env["ALIGNTOOLS_DEVICE"] = "cpu"  # explicit cpu: exec is fine
+    code = (
+        "import sys\n"
+        f"sys.argv = ['aligntools', 'global', {str(fa)!r}]\n"
+        "from aligntools_tpu.cli import main\n"
+        "sys.exit(main())\n"
+    )
+    r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                       text=True, timeout=300, env=env, cwd=REPO)
+    assert r.returncode == 0 and "[native-cli]" in r.stderr
+    env["ALIGNTOOLS_DEVICE"] = "tpu"  # device request: no exec (falls back
+    env["JAX_PLATFORMS"] = "cpu"      # to cpu jax here, but via the engines)
+    r2 = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                        text=True, timeout=300, env=env, cwd=REPO)
+    assert "[native-cli]" not in r2.stderr
