@@ -215,3 +215,24 @@ def test_exec_skipped_on_device_override(native_cli, tmp_path):
     r2 = subprocess.run([sys.executable, "-c", code], capture_output=True,
                         text=True, timeout=300, env=env, cwd=REPO)
     assert "[native-cli]" not in r2.stderr
+
+
+def test_gz_and_fastq_inputs(native_cli, tmp_path):
+    """gz + FASTQ pairs flow through the native parser identically to the
+    Python CLI (kseq.h accepted both; alignment scores only use seq)."""
+    import gzip
+
+    gz = tmp_path / "p.fa.gz"
+    with gzip.open(gz, "wt") as f:
+        f.write(">q\nACGTAC\nGT\n>t\nACGTTACGT\n")
+    nout, _, nrc = run_native(native_cli, ["global", str(gz)])
+    pout, _, prc = run_python_cli(["global", str(gz)])
+    assert nrc == prc == 0
+    assert nout == pout and nout.startswith("score=")
+
+    fq = tmp_path / "p.fq"
+    fq.write_text("@q\nACGTAC\n+\nIIIIII\n@t\nACGTTACGT\n+\nIIIIIIIII\n")
+    nout, _, nrc = run_native(native_cli, ["local", str(fq)])
+    pout, _, prc = run_python_cli(["local", str(fq)])
+    assert nrc == prc == 0
+    assert nout == pout
