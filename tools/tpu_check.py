@@ -8,12 +8,18 @@ silently corrupted the blocked kernel's block-edge extraction for DP
 values past 256 — every kernel dot now pins Precision.HIGHEST, and this
 check exercises targets long enough (100k+) that DP values reach -130k.
 
-Usage: /opt/venv/bin/python tools/tpu_check.py
+Each stage runs in its OWN subprocess with a timeout: the axon tunnel
+wedges long-lived multi-compile processes (round 2: calibrate and
+multi-config probes hung mid-run), and one wedged stage must not cost the
+whole hardware pass. `--stage NAME` runs a single stage in-process.
+
+Usage: /opt/venv/bin/python tools/tpu_check.py [--stage NAME]
 """
 
 from __future__ import annotations
 
 import os
+import subprocess
 import sys
 
 try:
@@ -26,31 +32,29 @@ except ImportError:
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+STAGE_TIMEOUT = 1800
 
-def main():
-    import jax
-    import jax.numpy as jnp
 
-    from aligntools_tpu.batch import align_batch
-    from aligntools_tpu.ops.pallas_blocked import (
-        blocked_ptr_fill,
-        blocked_scores,
-    )
-    from aligntools_tpu.ops.pallas_scan import pallas_scores
-    from aligntools_tpu.engine import device_tb
-    from aligntools_tpu.params import AlignParams
-    from aligntools_tpu.spec import engine as spec
+class Ctx:
+    """Per-process stage context: device check + shared fixtures."""
 
-    assert jax.default_backend() == "tpu", (
-        f"tpu_check must run on the TPU backend, got {jax.default_backend()}"
-    )
-    rng = np.random.default_rng(5)
-    alpha = list(b"ACGT")
-    p = AlignParams(match=2, mismatch=-3, gap_open=-4, gap_extend=-1)
-    params = np.zeros((1, 8), np.float32)
-    params[0, :5] = [p.match, p.mismatch, p.gap_open, p.gap_extend, p.jump]
+    def __init__(self):
+        import jax
 
-    def bucket(pairs, m_pad, n_pad):
+        from aligntools_tpu.params import AlignParams
+
+        assert jax.default_backend() == "tpu", (
+            f"tpu_check must run on the TPU backend, got "
+            f"{jax.default_backend()}"
+        )
+        self.rng = np.random.default_rng(5)
+        self.alpha = list(b"ACGT")
+        self.p = AlignParams(match=2, mismatch=-3, gap_open=-4, gap_extend=-1)
+        self.params = np.zeros((1, 8), np.float32)
+        self.params[0, :5] = [self.p.match, self.p.mismatch, self.p.gap_open,
+                              self.p.gap_extend, self.p.jump]
+
+    def bucket(self, pairs, m_pad, n_pad):
         B = len(pairs)
         qs = np.full((B, m_pad), -1, np.int32)
         ts = np.full((B, n_pad), -2, np.int32)
@@ -63,40 +67,63 @@ def main():
             ms[k, 0], ns[k, 0] = len(q), len(t)
         return qs, ts, allow, ns, ms
 
-    # 1. flat kernels, DP values to ~2k
-    pairs = [
-        (bytes(rng.choice(alpha, int(rng.integers(100, 512))).tolist()),
-         bytes(rng.choice(alpha, int(rng.integers(100, 1024))).tolist()))
-        for _ in range(8)
-    ]
-    qs, ts, allow, ns, ms = bucket(pairs, 512, 1024)
-    a = tuple(jnp.asarray(x) for x in (qs, ts, ns, ms, params))
+    def gen(self, n, lo_m, hi_m, lo_n, hi_n):
+        return [
+            (bytes(self.rng.choice(self.alpha,
+                                   int(self.rng.integers(lo_m, hi_m)))
+                   .tolist()),
+             bytes(self.rng.choice(self.alpha,
+                                   int(self.rng.integers(lo_n, hi_n)))
+                   .tolist()))
+            for _ in range(n)
+        ]
+
+    def flat_bucket_args(self):
+        import jax.numpy as jnp
+
+        pairs = self.gen(8, 100, 512, 100, 1024)
+        qs, ts, allow, ns, ms = self.bucket(pairs, 512, 1024)
+        return pairs, tuple(
+            jnp.asarray(x) for x in (qs, ts, ns, ms, self.params)
+        )
+
+
+def stage_flat(ctx):
+    """Flat kernels, DP values to ~2k."""
+    from aligntools_tpu.ops.pallas_scan import pallas_scores
+    from aligntools_tpu.spec import engine as spec
+
+    pairs, a = ctx.flat_bucket_args()
     for mode in ("global", "local", "overlap", "edit"):
         got = np.asarray(
             pallas_scores(mode, 512, 1024, False, *a)
         ).astype(np.float64)
         want = [
-            getattr(spec, f"spec_{mode}")(q, t, p).score
-            if mode != "edit" else float(spec.spec_edit(q, t, p))
+            getattr(spec, f"spec_{mode}")(q, t, ctx.p).score
+            if mode != "edit" else float(spec.spec_edit(q, t, ctx.p))
             for q, t in pairs
         ]
         assert np.array_equal(got, want), (mode, got[:4], want[:4])
         print(f"flat {mode}: OK", flush=True)
 
-    # 1b. scan-strategy variants on hardware: every (scan_pre, twolevel)
-    # composition must be bit-identical — the adaptive early exit and the
-    # two-level tail are exact by construction, and this is where a
-    # Mosaic lowering problem (lax.cond on vectors, the strided block
-    # extract, the 3D broadcast-back) would surface first.
-    from aligntools_tpu.ops import pallas_scan as pk
 
-    fitpairs = [
-        (bytes(rng.choice(alpha, int(rng.integers(50, 256))).tolist()),
-         bytes(rng.choice(alpha, int(rng.integers(300, 1024))).tolist()))
-        for _ in range(8)
-    ]
-    fq, ft, fallow, fns, fms = bucket(fitpairs, 256, 1024)
-    fa = tuple(jnp.asarray(x) for x in (fq, ft, fallow, fns, fms, params))
+def stage_scanvar(ctx):
+    """Scan-strategy variants on hardware: every (scan_pre, twolevel)
+    composition must be bit-identical — the adaptive early exit and the
+    two-level tail are exact by construction, and this is where a Mosaic
+    lowering problem (lax.cond on vectors, the strided block extract, the
+    3D broadcast-back) would surface first."""
+    import jax.numpy as jnp
+
+    from aligntools_tpu.ops import pallas_scan as pk
+    from aligntools_tpu.ops.pallas_scan import pallas_scores
+    from aligntools_tpu.spec import engine as spec
+
+    pairs, a = ctx.flat_bucket_args()
+    fitpairs = ctx.gen(8, 50, 256, 300, 1024)
+    fq, ft, fallow, fns, fms = ctx.bucket(fitpairs, 256, 1024)
+    fa = tuple(jnp.asarray(x)
+               for x in (fq, ft, fallow, fns, fms, ctx.params))
     base = {}
     try:
         for pre, tl in ((0, False), (3, False), (4, True), (3, True)):
@@ -121,126 +148,120 @@ def main():
         pk._PRE_OVERRIDE = pk._TWOLEVEL_OVERRIDE = None
         pk.pallas_scores.clear_cache()
         pk.pallas_fit_scores.clear_cache()
-    gotf = [
-        float(x) for x in base["fit"]
-    ]
+    gotf = [float(x) for x in base["fit"]]
     wantf = [
-        spec.spec_fit(q, t, p, sites=[]).score for q, t in fitpairs
+        spec.spec_fit(q, t, ctx.p, sites=[]).score for q, t in fitpairs
     ]
     assert gotf == wantf, ("fit+jump vs spec", gotf[:3], wantf[:3])
     print("scan variants vs spec: OK", flush=True)
 
-    # 2. blocked kernel at 131k columns (DP values to ~-130k)
-    big = [
-        (bytes(rng.choice(alpha, int(rng.integers(30, 64))).tolist()),
-         bytes(rng.choice(alpha, int(rng.integers(100_000, 131_072))).tolist()))
-        for _ in range(8)
-    ]
-    qs, ts, allow, ns, ms = bucket(big, 64, 131072)
-    a = tuple(jnp.asarray(x) for x in (qs, ts, allow, ns, ms, params))
+
+def stage_blocked(ctx):
+    """Blocked kernel at 131k columns (DP values to ~-130k)."""
+    import jax.numpy as jnp
+
+    from aligntools_tpu.ops.pallas_blocked import blocked_scores
+    from aligntools_tpu.spec import engine as spec
+
+    big = ctx.gen(8, 30, 64, 100_000, 131_072)
+    qs, ts, allow, ns, ms = ctx.bucket(big, 64, 131072)
+    a = tuple(jnp.asarray(x) for x in (qs, ts, allow, ns, ms, ctx.params))
     for mode in ("global", "local", "fit", "overlap", "edit"):
         got = np.asarray(
             blocked_scores(mode, False, 64, 131072, 8192, False, *a)
         ).astype(np.float64)
         want = [
-            float(spec.spec_edit(q, t, p)) if mode == "edit"
+            float(spec.spec_edit(q, t, ctx.p)) if mode == "edit"
             else (spec.spec_fit if mode == "fit"
-                  else getattr(spec, f"spec_{mode}"))(q, t, p).score
+                  else getattr(spec, f"spec_{mode}"))(q, t, ctx.p).score
             for q, t in big
         ]
         assert np.array_equal(got, want), (mode, got[:4], want[:4])
         print(f"blocked {mode} @131k: OK", flush=True)
 
-    # 3. blocked pointer kernel + device walk, medium-long targets
-    med = [
-        (bytes(rng.choice(alpha, int(rng.integers(50, 256))).tolist()),
-         bytes(rng.choice(alpha, int(rng.integers(4000, 65536))).tolist()))
-        for _ in range(8)
-    ]
-    qs, ts, allow, ns, ms = bucket(med, 256, 65536)
-    a = tuple(jnp.asarray(x) for x in (qs, ts, allow, ns, ms, params))
+
+def _ptr_roundtrip(ctx, pairs, m_pad, n_pad, fill, label):
+    """Shared pointer-kernel + device-walk check (flat or blocked)."""
+    import jax.numpy as jnp
+
+    from aligntools_tpu.batch import align_batch
+    from aligntools_tpu.engine import device_tb
+
+    qs, ts, allow, ns, ms = ctx.bucket(pairs, m_pad, n_pad)
+    a = tuple(jnp.asarray(x) for x in (qs, ts, allow, ns, ms, ctx.params))
     for mode in ("global", "local", "fit", "overlap"):
-        want = align_batch(mode, med, p, engine="xla")
+        want = align_batch(mode, pairs, ctx.p, engine="xla")
         for pack in (1, 2) + ((4,) if mode == "overlap" else ()):
-            score, av, bv, ptrs = blocked_ptr_fill(
-                mode, False, 256, 65536, 8192, False, *a,
-                rows_per_byte=pack,
-            )
+            score, av, bv, ptrs = fill(mode, a, pack)
             score = np.asarray(score).astype(np.float64)
             av, bv = np.asarray(av), np.asarray(bv)
             assert np.array_equal(score, [w.score for w in want]), mode
             if mode == "global":
                 starts = [(int(av[k]), int(ms[k, 0]), int(ns[k, 0]))
-                          for k in range(8)]
+                          for k in range(len(pairs))]
             elif mode == "local":
-                starts = [(1, int(av[k]), int(bv[k])) for k in range(8)]
+                starts = [(1, int(av[k]), int(bv[k]))
+                          for k in range(len(pairs))]
             elif mode == "fit":
                 starts = [(0 if int(av[k]) else 1, int(ms[k, 0]),
-                           int(bv[k])) for k in range(8)]
+                           int(bv[k])) for k in range(len(pairs))]
             else:  # overlap: bottom-row start at latched column a
-                starts = [(0, int(ms[k, 0]), int(av[k])) for k in range(8)]
+                starts = [(0, int(ms[k, 0]), int(av[k]))
+                          for k in range(len(pairs))]
             rows = device_tb.batch_traceback(
-                mode, ptrs, qs, ts, med, starts, col_base=1, pack4=pack
+                mode, ptrs, qs, ts, pairs, starts, col_base=1, pack4=pack
             )
-            for k in range(8):
+            for k in range(len(pairs)):
                 assert rows[k] == (want[k].row1, want[k].row2), (mode, k)
-            print(f"blocked-ptr {mode} @64k rows"
+            print(f"{label} {mode} rows"
                   f"{f' (packed x{pack})' if pack > 1 else ''}: OK",
                   flush=True)
 
-    # 3b. FLAT pointer kernel on hardware, byte and nibble layouts
+
+def stage_blockedptr(ctx):
+    """Blocked pointer kernel + device walk, medium-long targets."""
+    from aligntools_tpu.ops.pallas_blocked import blocked_ptr_fill
+
+    med = ctx.gen(8, 50, 256, 4000, 65536)
+    _ptr_roundtrip(
+        ctx, med, 256, 65536,
+        lambda mode, a, pack: blocked_ptr_fill(
+            mode, False, 256, 65536, 8192, False, *a, rows_per_byte=pack),
+        "blocked-ptr @64k",
+    )
+
+
+def stage_flatptr(ctx):
+    """FLAT pointer kernel on hardware, byte and nibble layouts."""
     from aligntools_tpu.ops.pallas_ptr import pallas_ptr_fill
 
-    fl = [
-        (bytes(rng.choice(alpha, int(rng.integers(100, 512))).tolist()),
-         bytes(rng.choice(alpha, int(rng.integers(500, 2048))).tolist()))
-        for _ in range(8)
-    ]
-    qs, ts, allow, ns, ms = bucket(fl, 512, 2048)
-    a = tuple(jnp.asarray(x) for x in (qs, ts, allow, ns, ms, params))
-    for mode in ("global", "local", "fit", "overlap"):
-        want = align_batch(mode, fl, p, engine="xla")
-        for pack in (1, 2) + ((4,) if mode == "overlap" else ()):
-            score, av, bv, ptrs = pallas_ptr_fill(
-                mode, False, 512, 2048, False, *a, rows_per_byte=pack,
-            )
-            score = np.asarray(score).astype(np.float64)
-            av, bv = np.asarray(av), np.asarray(bv)
-            assert np.array_equal(score, [w.score for w in want]), mode
-            if mode == "global":
-                starts = [(int(av[k]), int(ms[k, 0]), int(ns[k, 0]))
-                          for k in range(8)]
-            elif mode == "local":
-                starts = [(1, int(av[k]), int(bv[k])) for k in range(8)]
-            elif mode == "fit":
-                starts = [(0 if int(av[k]) else 1, int(ms[k, 0]),
-                           int(bv[k])) for k in range(8)]
-            else:
-                starts = [(0, int(ms[k, 0]), int(av[k])) for k in range(8)]
-            rows = device_tb.batch_traceback(
-                mode, ptrs, qs, ts, fl, starts, col_base=1, pack4=pack
-            )
-            for k in range(8):
-                assert rows[k] == (want[k].row1, want[k].row2), (mode, k)
-            print(f"flat-ptr {mode}"
-                  f"{f' (packed x{pack})' if pack > 1 else ''}: OK",
-                  flush=True)
+    fl = ctx.gen(8, 100, 512, 500, 2048)
+    _ptr_roundtrip(
+        ctx, fl, 512, 2048,
+        lambda mode, a, pack: pallas_ptr_fill(
+            mode, False, 512, 2048, False, *a, rows_per_byte=pack),
+        "flat-ptr",
+    )
 
-    # 4. blocked pointer kernel for OVERLAP at 131k columns + device walk
-    # (trace_back_overlap, alignment.h:896-922; long-target full rows)
-    ov = [
-        (bytes(rng.choice(alpha, int(rng.integers(30, 64))).tolist()),
-         bytes(rng.choice(alpha, int(rng.integers(100_000, 131_072))).tolist()))
-        for _ in range(8)
-    ]
-    qs, ts, allow, ns, ms = bucket(ov, 64, 131072)
-    a = tuple(jnp.asarray(x) for x in (qs, ts, allow, ns, ms, params))
+
+def stage_overlapptr(ctx):
+    """Blocked pointer kernel for OVERLAP at 131k columns + device walk
+    (trace_back_overlap, alignment.h:896-922; long-target full rows)."""
+    import jax.numpy as jnp
+
+    from aligntools_tpu.batch import align_batch
+    from aligntools_tpu.engine import device_tb
+    from aligntools_tpu.ops.pallas_blocked import blocked_ptr_fill
+
+    ov = ctx.gen(8, 30, 64, 100_000, 131_072)
+    qs, ts, allow, ns, ms = ctx.bucket(ov, 64, 131072)
+    a = tuple(jnp.asarray(x) for x in (qs, ts, allow, ns, ms, ctx.params))
     score, av, bv, ptrs = blocked_ptr_fill(
         "overlap", False, 64, 131072, 8192, False, *a
     )
     score = np.asarray(score).astype(np.float64)
     av = np.asarray(av)
-    want = align_batch("overlap", ov, p, engine="xla")
+    want = align_batch("overlap", ov, ctx.p, engine="xla")
     assert np.array_equal(score, [w.score for w in want]), "overlap@131k"
     starts = [(0, int(ms[k, 0]), int(av[k])) for k in range(8)]
     rows = device_tb.batch_traceback(
@@ -250,14 +271,19 @@ def main():
         assert rows[k] == (want[k].row1, want[k].row2), ("overlap@131k", k)
     print("blocked-ptr overlap @131k rows: OK", flush=True)
 
-    # 5. checkpoint-rescan full rows at ONE MILLION columns (VERDICT #5's
-    # scaling target: ~10x past the single-tensor pointer capacity for
-    # this shape class). No oracle fits this size, so validate by
-    # (a) score parity with the independent blocked Pallas fill and
-    # (b) re-scoring the emitted rows against fit affine-gap semantics
-    # (alignment.h:596-694: gap run of k costs o + (k-1)e).
-    from aligntools_tpu.engine.rescan import rescan_align
 
+def stage_rescan1m(ctx):
+    """Checkpoint-rescan full rows at ONE MILLION columns. No oracle fits
+    this size, so validate by (a) score parity with the independent
+    blocked Pallas fill and (b) re-scoring the emitted rows against fit
+    affine-gap semantics (alignment.h:596-694: gap run of k costs
+    o + (k-1)e)."""
+    import jax.numpy as jnp
+
+    from aligntools_tpu.engine.rescan import rescan_align
+    from aligntools_tpu.ops.pallas_blocked import blocked_scores
+
+    p, rng, alpha = ctx.p, ctx.rng, ctx.alpha
     n1m = 1_000_000
     tbig = rng.choice(alpha, n1m)
     qv = tbig[600_000:600_512].copy()
@@ -266,8 +292,8 @@ def main():
     qb, tb = bytes(qv.tolist()), bytes(tbig.tolist())
     res = rescan_align("fit", qb, tb, p, stride=128)
     got = res.score
-    qs, ts, allow, ns, ms = bucket([(qb, tb)] * 8, 512, 1 << 20)
-    a = tuple(jnp.asarray(x) for x in (qs, ts, allow, ns, ms, params))
+    qs, ts, allow, ns, ms = ctx.bucket([(qb, tb)] * 8, 512, 1 << 20)
+    a = tuple(jnp.asarray(x) for x in (qs, ts, allow, ns, ms, ctx.params))
     bs = np.asarray(
         blocked_scores("fit", False, 512, 1 << 20, 8192, False, *a)
     )
@@ -288,11 +314,9 @@ def main():
     assert walked == got, ("rescan@1M rescore", walked, got)
     print(f"rescan fit @1M columns: OK (score {got})", flush=True)
 
-    # 6. banded Pallas kernel on hardware: bit-parity with the vmapped
-    # XLA banded fill AND with the full (unbanded) engine on similar
-    # pairs whose optimal path stays in band.
-    from aligntools_tpu.engine.banded import banded_batch_scores
-    from aligntools_tpu.batch import batch_scores
+
+def _similar_pairs(ctx, n_pairs=24):
+    rng, alpha = ctx.rng, ctx.alpha
 
     def similar(n):
         q = rng.choice(alpha, n).astype(np.uint8)
@@ -303,30 +327,82 @@ def main():
             t.insert(int(rng.integers(0, len(t))), int(rng.choice(alpha)))
         return bytes(q.tolist()), bytes(t)
 
-    bp = [similar(int(rng.integers(500, 2000))) for _ in range(24)]
+    return [similar(int(rng.integers(500, 2000))) for _ in range(n_pairs)]
+
+
+def stage_banded(ctx):
+    """Banded Pallas kernel on hardware: bit-parity with the vmapped XLA
+    banded fill AND with the full (unbanded) engine on similar pairs
+    whose optimal path stays in band."""
+    from aligntools_tpu.batch import batch_scores
+    from aligntools_tpu.engine.banded import banded_batch_scores
+
+    bp = _similar_pairs(ctx)
     for mode in ("global", "local", "edit", "fit", "overlap"):
-        got, ge = banded_batch_scores(mode, bp, 64, p, engine="pallas")
-        want, we = banded_batch_scores(mode, bp, 64, p, engine="xla")
+        got, ge = banded_batch_scores(mode, bp, 64, ctx.p, engine="pallas")
+        want, we = banded_batch_scores(mode, bp, 64, ctx.p, engine="xla")
         assert np.array_equal(got, want), ("banded-pallas", mode)
         assert np.array_equal(ge, we), ("banded-pallas edge", mode)
         if mode in ("global", "local"):
-            full = batch_scores(mode, bp, p)
+            full = batch_scores(mode, bp, ctx.p)
             assert np.array_equal(got, full), ("banded-vs-full", mode)
         print(f"banded-pallas {mode} W=64: OK", flush=True)
 
-    # 7. pointer-emitting banded Pallas kernel on hardware (uint8 window
-    # slabs + start scalars): rows byte-identical to the XLA fill + walk
+
+def stage_bandedptr(ctx):
+    """Pointer-emitting banded Pallas kernel on hardware (uint8 window
+    slabs + start scalars): rows byte-identical to the XLA fill + walk."""
     from aligntools_tpu.engine.banded import banded_align_batch
 
+    bp = _similar_pairs(ctx)
     for mode in ("global", "local", "fit", "overlap"):
-        want = banded_align_batch(mode, bp, 64, p, engine="xla")[0]
-        got = banded_align_batch(mode, bp, 64, p, engine="pallas")[0]
+        want = banded_align_batch(mode, bp, 64, ctx.p, engine="xla")[0]
+        got = banded_align_batch(mode, bp, 64, ctx.p, engine="pallas")[0]
         for k, (w, g) in enumerate(zip(want, got)):
             assert (g.score, g.row1, g.row2) == (
                 w.score, w.row1, w.row2,
             ), ("banded-ptr", mode, k)
         print(f"banded-ptr {mode} W=64 rows: OK", flush=True)
 
+
+STAGES = {
+    "flat": stage_flat,
+    "scanvar": stage_scanvar,
+    "blocked": stage_blocked,
+    "blockedptr": stage_blockedptr,
+    "flatptr": stage_flatptr,
+    "overlapptr": stage_overlapptr,
+    "rescan1m": stage_rescan1m,
+    "banded": stage_banded,
+    "bandedptr": stage_bandedptr,
+}
+
+
+def main():
+    if "--stage" in sys.argv:
+        name = sys.argv[sys.argv.index("--stage") + 1]
+        STAGES[name](Ctx())
+        print(f"STAGE {name} PASSED", flush=True)
+        return
+
+    failed = []
+    for name in STAGES:
+        print(f"=== stage {name} ===", flush=True)
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--stage", name],
+                timeout=STAGE_TIMEOUT,
+            )
+            ok = r.returncode == 0
+        except subprocess.TimeoutExpired:
+            print(f"stage {name} TIMED OUT ({STAGE_TIMEOUT}s) — tunnel "
+                  "wedge?", flush=True)
+            ok = False
+        if not ok:
+            failed.append(name)
+    if failed:
+        print(f"TPU CHECK FAILED: stages {failed}", flush=True)
+        sys.exit(1)
     print("TPU CHECK PASSED", flush=True)
 
 
