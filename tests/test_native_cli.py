@@ -236,3 +236,23 @@ def test_gz_and_fastq_inputs(native_cli, tmp_path):
     pout, _, prc = run_python_cli(["local", str(fq)])
     assert nrc == prc == 0
     assert nout == pout
+
+
+def test_empty_seq1_edge(native_cli, ref_binary, tmp_path):
+    """2 records with an empty first sequence: the reference accepts it
+    (read_kstring only dies on <2 records), yielding score=-9 global /
+    -inf local / 0 overlap / 4 edit on this input — all three
+    implementations must agree, including the '%f' of -inf."""
+    fa = tmp_path / "e.fa"
+    fa.write_text(">q\n>t\nACGT\n")
+    for mode, first in (("global", "score=-9.000000"),
+                        ("local", "score=-inf"),
+                        ("overlap", "0.000000"),
+                        ("edit", "edit_distance=4")):
+        r = subprocess.run([ref_binary, mode, str(fa)], capture_output=True,
+                           text=True, timeout=60)
+        nout, _, nrc = run_native(native_cli, [mode, str(fa)])
+        pout, _, prc = run_python_cli([mode, str(fa)])
+        assert nrc == prc == r.returncode == 0, mode
+        assert nout == pout, mode
+        assert nout.splitlines()[0] == first == r.stdout.splitlines()[0], mode
