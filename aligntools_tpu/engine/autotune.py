@@ -79,10 +79,14 @@ def table() -> dict:
     return _loaded
 
 
-def _amortized(run_k, k1=1, k2=3, reps=2):
+def _amortized(run_k, k1=2, k2=10, reps=3):
     """Best-of-``reps`` amortized per-fill seconds. The per-call tunnel
-    jitter here is +-30-90 ms, the same order as a small fill — best-of
-    on BOTH ends keeps the difference from going negative/noisy."""
+    jitter here is +-30-90 ms; differencing two LONG chains (8 fills
+    apart) divides the residual jitter by 8, and best-of on BOTH ends
+    keeps the difference from going negative. Round-3 lesson: the old
+    k2=3 (diff over 2 fills) ranked scan strategies by noise — it wrote
+    scan_pre=4/scan_twolevel=true into the table while the repeatable
+    probe_flat instrument showed plain tails winning every shape."""
     import numpy as np
 
     def timed(k):

@@ -30,11 +30,13 @@ except ImportError:  # bare system python: re-exec under the jax venv
         os.execv(venv, [venv, os.path.abspath(__file__), *sys.argv[1:]])
     raise
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import jax
 import jax.numpy as jnp
 
 
-def _amortized(run_k, reps=2, k1=1, k2=5):
+def _amortized(run_k, reps=3, k1=2, k2=10):
     def timed(K):
         np.asarray(run_k(K))
         best = float("inf")

@@ -15,13 +15,16 @@ step "device check"
 timeout 120 $PY -c "import jax; d=jax.devices(); assert d[0].platform=='tpu', d; print(d)" || { echo "TUNNEL DOWN"; exit 1; }
 
 step "adaptive-scan A/B (flat kernel, one process per config)"
+# NOTE: ALIGNTOOLS_ADAPTIVE_SCAN=1 defers to the calibrate table; only
+# values >= 2 force that many pre passes. Pin 4 (the calibrated winner)
+# vs 0 so the A/B actually compares strategies.
 for cfg in "local 256 2048" "local 32 8192" "global 256 2048" "edit 256 2048" "overlap 256 2048"; do
-  for ad in 1 0; do
+  for ad in 4 0; do
     ALIGNTOOLS_ADAPTIVE_SCAN=$ad timeout 600 $PY benchmarks/probe_flat.py $cfg pallas || echo "probe FAIL: $cfg ad=$ad"
   done
 done
-ALIGNTOOLS_ADAPTIVE_SCAN=1 timeout 600 $PY benchmarks/probe_flat.py local 256 2048 xla || true
-for ad in 1 0; do
+ALIGNTOOLS_ADAPTIVE_SCAN=0 timeout 600 $PY benchmarks/probe_flat.py local 256 2048 xla || true
+for ad in 4 0; do
   ALIGNTOOLS_ADAPTIVE_SCAN=$ad timeout 900 $PY benchmarks/probe_flat.py fitjump 64 512 32768 pallas || echo "probe FAIL: fitjump ad=$ad"
 done
 
