@@ -228,6 +228,30 @@ def _kernel_arrays(b, params: AlignParams, tile_b: int | None = None):
     return dev, B, qs, ts
 
 
+def _chunked_bucket_scores(mode, b, params: AlignParams, use_jump: bool):
+    """Score a bucket on the column-chunked XLA engine (engine/chunked.py)
+    — the large-batch long-target regime (engine/select.py use_chunked)."""
+    from aligntools_tpu.engine import chunked as ck
+
+    ps = _params_mat(params, b.m)
+    ns = jnp.asarray(b.n)
+    qs, ts = jnp.asarray(b.q), jnp.asarray(b.t)
+    if mode == "fit":
+        allowed = jnp.asarray(
+            b.allowed
+            if b.allowed is not None
+            else np.ones((len(b.idx), b.n_pad), dtype=bool)
+        )
+        out = ck.chunked_fit_scores(
+            use_jump, qs, ts, allowed, ns, ck.DEFAULT_CHUNK, params=ps
+        )
+    else:
+        out = ck.chunked_scores(
+            mode, qs, ts, ns, ck.DEFAULT_CHUNK, params=ps
+        )
+    return np.asarray(out)
+
+
 def _pallas_bucket_scores(mode, b, params: AlignParams, use_jump: bool):
     """Score a bucket on the Pallas VMEM kernels (flat or column-blocked);
     interpret mode on CPU (tests)."""
@@ -337,6 +361,22 @@ def align_batch(
     buckets = _bucketize(pairs, sites_list if use_jump else None)
     results: list = [None] * len(pairs)
     for b in buckets.values():
+        # Large-batch long-target score buckets: the column-chunked XLA
+        # engine (engine/chunked.py) beats both the flat/blocked Pallas
+        # kernels and the plain XLA row scan there (engine/select.py
+        # use_chunked docstring for the v5e numbers).
+        if (
+            not traceback
+            and engine == "auto"
+            and _select.use_chunked(len(b.idx), b.n_pad)
+        ):
+            vals = _chunked_bucket_scores(mode, b, params, use_jump)
+            for r, k in enumerate(b.idx):
+                results[k] = (
+                    int(vals[r]) if mode == "edit"
+                    else AlignResult(float(vals[r]), b"", b"")
+                )
+            continue
         route_pallas = engine != "xla" and (
             engine == "pallas"
             or _select.use_pallas(len(b.idx), b.m_pad, b.n_pad, mode)

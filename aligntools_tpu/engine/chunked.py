@@ -1,0 +1,491 @@
+"""Column-chunked XLA score engine: the fused-regime row scan at ANY n.
+
+The plain XLA row-scan engine (engine/scan.py) carries (B, n_pad) state
+rows through ``lax.scan``; XLA keeps those carries fused in registers /
+VMEM only up to a width ceiling (the calibrated ``nmax``, ~4096 on v5e).
+Past it the carries spill to HBM every row step and throughput collapses
+~3-40x (measured 20.8 GCUPS at 256x8192 vs 67 at 256x4096; 3.4 on the
+fit flagship 64x(512x32768)).
+
+This engine restores the fused regime at any target length by filling
+the matrix in COLUMN CHUNKS of ``n_chunk`` (default 2048) columns: each
+chunk is a full ``lax.scan`` over rows with narrow (B, n_chunk) carries,
+and the only state crossing chunks is each row's right-edge values —
+(B, m_pad) arrays of the states with a horizontal/diagonal dependency:
+
+  * diagonal:   best-of-states at (i-1, c0)     -> feeds M's first column
+  * in-row U:   M(i, c0) and U(i, c0)           -> seed the max-plus scan
+  * overlap:    M(i, c0)                         (single-matrix LEFT chain)
+  * edit:       M(i, c0)                         (min-plus mirror)
+  * fit jump:   J(i, c0)                          + the above
+
+L (gap-in-target) is purely vertical and never crosses a chunk edge.
+The per-chunk U/J scans stay exact because the max-plus normalization is
+translation-invariant: with local column index j', V[j'] = U[c0+j'] -
+e*j' and the edge seed enters as V[0] = U(i, c0). Score latches (the
+(m, n) finals, local's running argmax, fit/overlap's row-m scans) carry
+across chunks as (B,)-sized running values.
+
+Hypothesis validated on v5e before building (round 3): a prototype of
+the local fill measured 67.8 GCUPS at 256x8192 (vs 20.8 flat XLA, 40
+Pallas), 64.0 at 128x8192, 62.6 at 256x16384, chunk width insensitive
+across 1024-4096 — and collapsed to 1.2 at batch 64, so the calibrated
+``bmin`` batch gate still decides Pallas vs XLA; this engine only moves
+the ``nmax`` ceiling out.
+
+Score-only (like the flat Pallas kernels): pointer-emitting fills route
+elsewhere (ops/pallas_ptr.py / blocked / seqpar). Exact f32 semantics,
+borders, masks, and tie behavior mirror engine/scan.py's machines, which
+are parity-tested against the reference binary (src/alignment.h:417-473,
+805-847, 596-694, 926-964, 291-315). Scores need no tie-break handling:
+max is max; tie order only matters for traceback starts, which this
+engine does not produce.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+NEG = -jnp.inf
+
+DEFAULT_CHUNK = 2048
+
+
+def pick_chunk(n_pad: int, n_chunk: int = DEFAULT_CHUNK) -> tuple[int, int]:
+    """(nblk, chunk) with nblk*chunk >= n_pad, chunk a multiple of 128 as
+    close to ``n_chunk`` as the block count allows (waste < 128*nblk)."""
+    nblk = max(1, -(-n_pad // n_chunk))
+    chunk = -(-(-(-n_pad // nblk)) // 128) * 128
+    return nblk, chunk
+
+
+def _pad_cols(x, total, fill):
+    B, n = x.shape
+    if n == total:
+        return x
+    return jnp.concatenate(
+        [x, jnp.full((B, total - n), fill, x.dtype)], axis=1
+    )
+
+
+def _unroll() -> int:
+    from aligntools_tpu.engine.scan import _unroll as u
+
+    return u()
+
+
+def _row_xs(q, *edges):
+    """Per-row scan inputs: the row's query char + this row's edge seeds
+    and the PREVIOUS row's diagonal edge (shifted down one row; the row-0
+    value is supplied by the caller as ``edges[0]``'s first element)."""
+    return tuple(a.T for a in (q,) + edges)  # (m_pad, B) each
+
+
+def _shift_rows(edge, row0_val):
+    """edge (B, m_pad) -> (B, m_pad) where row i holds edge[i-1]; row 0
+    gets ``row0_val`` (scalar or (B,))."""
+    B = edge.shape[0]
+    first = jnp.broadcast_to(jnp.asarray(row0_val, edge.dtype), (B, 1))
+    return jnp.concatenate([first, edge[:, :-1]], axis=1)
+
+
+# ---------------------------------------------------------------------------
+# global / local (3-state affine)  — alignment.h:417-473 / 805-847
+# ---------------------------------------------------------------------------
+
+
+def _affine_chunk(mode, q, t_blk, gj, m_col, n_col, params, carry):
+    """One chunk of the global/local fill. gj: (chunk,) global column
+    indices (1-based) of this block. carry: (edge_best, edge_m, edge_u,
+    fin(B,3)|best(B,)) — edges at the column just left of this block."""
+    match, mis, o, e = params
+    B, m_pad = q.shape
+    chunk = t_blk.shape[1]
+    gjf = gj.astype(jnp.float32)
+    if mode == "global":
+        # row-0 values at these global columns (alignment.h:437-441)
+        m_init = jnp.full((B, chunk), NEG)
+        l_init = jnp.full((B, chunk), NEG)
+        u_init = o + e * jnp.broadcast_to(gjf, (B, chunk))
+        best_init = u_init
+        eq_n = gj[None, :] == n_col  # (B, chunk) final-column mask
+        contains_n = (gj[0] <= n_col) & (n_col <= gj[-1])  # (B, 1)
+    else:  # local: calloc-zero borders (alignment.h:805-847)
+        m_init = jnp.zeros((B, chunk))
+        l_init = jnp.zeros((B, chunk))
+        u_init = jnp.zeros((B, chunk))
+        best_init = jnp.zeros((B, chunk))
+        col_real = gj[None, :] <= n_col
+
+    edge_best, edge_m, edge_u, acc = carry
+    # diagonal predecessor at (i-1, c0): shift edges down one row; the
+    # row-0 edge value is max(L,M,U) at (0, c0) = the row-0 border there.
+    c0 = gjf[0] - 1.0
+    if mode == "global":
+        row0_diag = jnp.where(c0 == 0.0, 0.0, o + e * c0)  # U(0,c0)|M(0,0)
+    else:
+        row0_diag = 0.0
+    diag_edge = _shift_rows(edge_best, row0_diag)
+    jloc = jnp.arange(1, chunk + 1, dtype=jnp.float32)
+
+    def row(rc, xs):
+        mp, lp, bestp, acc = rc
+        qc, dedge, medge, uedge, iarr = xs  # (B,) each
+        sub = jnp.where(t_blk == qc[:, None], match, mis)
+        shifted_best = jnp.concatenate(
+            [dedge[:, None], bestp[:, :-1]], axis=1
+        )
+        m_row = shifted_best + sub
+        if mode == "local":
+            m_row = jnp.maximum(m_row, 0.0)
+        l_row = jnp.maximum(lp + e, mp + o)
+        # U scan: V[j'] = U[c0+j'] - e*j'; V[0] = U(i, c0) = uedge;
+        # cand[j'] = M(i, c0+j'-1) + o - e*j' with M at j'=1 from medge.
+        shifted_m = jnp.concatenate([medge[:, None], m_row[:, :-1]], axis=1)
+        cand = shifted_m + (o - e * jloc[None, :])
+        v = jnp.maximum(jax.lax.cummax(cand, axis=1), uedge[:, None])
+        u_row = v + e * jloc[None, :]
+        best = jnp.maximum(jnp.maximum(m_row, l_row), u_row)
+        i = iarr[:, None]  # (B,1) current row index (1-based)
+        if mode == "global":
+            here = jnp.stack(
+                [
+                    jnp.max(jnp.where(eq_n, l_row, NEG), axis=1),
+                    jnp.max(jnp.where(eq_n, m_row, NEG), axis=1),
+                    jnp.max(jnp.where(eq_n, u_row, NEG), axis=1),
+                ],
+                axis=1,
+            )  # (B, 3)
+            # latch ONLY in the chunk whose columns contain n: a later
+            # chunk's all-masked `here` (-inf) must not clobber the final
+            acc = jnp.where((i == m_col) & contains_n, here, acc)
+        else:
+            masked = jnp.where(col_real & (i <= m_col), m_row, NEG)
+            acc = jnp.maximum(acc, jnp.max(masked, axis=1))
+        ys = (m_row[:, -1], u_row[:, -1], best[:, -1])
+        return (m_row, l_row, best, acc), ys
+
+    iarr = jnp.arange(1, m_pad + 1, dtype=jnp.int32)
+    iarr = jnp.broadcast_to(iarr[None, :], (B, m_pad))
+    xs = _row_xs(q.astype(jnp.float32), diag_edge, edge_m, edge_u,
+                 iarr.astype(jnp.int32))
+    (mrow, lrow, bestrow, acc), ys = jax.lax.scan(
+        row, (m_init, l_init, best_init, acc), xs, unroll=_unroll()
+    )
+    em, eu, eb = (y.T for y in ys)  # (B, m_pad)
+    return (eb, em, eu, acc)
+
+
+def _affine_chunk0_edges(mode, B, m_pad, o, e):
+    """Edge seeds at global column 0 (the col-0 borders)."""
+    ii = jnp.arange(1, m_pad + 1, dtype=jnp.float32)[None, :]
+    if mode == "global":
+        # L(i,0)=o+e*i, M=U=-inf (alignment.h:432-436) -> best = L
+        eb = jnp.broadcast_to(o + e * ii, (B, m_pad))
+        em = jnp.full((B, m_pad), NEG)
+        eu = jnp.full((B, m_pad), NEG)
+    else:
+        eb = jnp.zeros((B, m_pad))
+        em = jnp.zeros((B, m_pad))
+        eu = jnp.zeros((B, m_pad))
+    return eb, em, eu
+
+
+# ---------------------------------------------------------------------------
+# overlap (single matrix, linear gap) — alignment.h:926-964
+# ---------------------------------------------------------------------------
+
+
+def _overlap_chunk(q, t_blk, gj, m_col, n_col, params, carry):
+    match, mis, o = params
+    B, m_pad = q.shape
+    chunk = t_blk.shape[1]
+    gjf = gj.astype(jnp.float32)
+    m_init = jnp.full((B, chunk), NEG)  # row 0 = -inf (cols >= 1)
+    lt_n = gj[None, :] <= n_col - 1  # scan cols j in [1, n-1]
+    edge_m, acc = carry
+    c0 = gjf[0] - 1.0
+    row0_diag = jnp.where(c0 == 0.0, 0.0, NEG)  # M(0,0)=0, row0 else -inf
+    diag_edge = _shift_rows(edge_m, row0_diag)
+    jloc = jnp.arange(1, chunk + 1, dtype=jnp.float32)
+
+    def row(rc, xs):
+        mp, acc = rc
+        qc, dedge, medge, iarr = xs
+        sub = jnp.where(t_blk == qc[:, None], match, mis)
+        diag = jnp.concatenate([dedge[:, None], mp[:, :-1]], axis=1) + sub
+        dr = jnp.maximum(diag, mp + o)
+        # LEFT chain: M[i,j] = max(M[i,j-1]+o, dr[j]); seed M(i, c0).
+        # col-0 border M(i,0)=0 is the chunk-0 edge seed (edge_m init).
+        cand = dr - o * jloc[None, :]
+        v = jnp.maximum(jax.lax.cummax(cand, axis=1), medge[:, None])
+        m_row = v + o * jloc[None, :]
+        latch = jnp.max(jnp.where(lt_n, m_row, NEG), axis=1)
+        acc = jnp.where(iarr == m_col[:, 0], jnp.maximum(acc, latch), acc)
+        return (m_row, acc), m_row[:, -1]
+
+    iarr = jnp.broadcast_to(
+        jnp.arange(1, m_pad + 1, dtype=jnp.int32)[None, :], (B, m_pad)
+    )
+    xs = _row_xs(q.astype(jnp.float32), diag_edge, edge_m, iarr)
+    (mrow, acc), em = jax.lax.scan(
+        row, (m_init, acc), xs, unroll=_unroll()
+    )
+    return (em.T, acc)
+
+
+# ---------------------------------------------------------------------------
+# edit distance (min-plus) — alignment.h:291-315
+# ---------------------------------------------------------------------------
+
+
+def _edit_chunk(q, t_blk, gj, m_col, n_col, params, carry):
+    u = params[0]
+    B, m_pad = q.shape
+    chunk = t_blk.shape[1]
+    gjf = gj.astype(jnp.float32)
+    row0 = jnp.broadcast_to(gjf, (B, chunk))  # M(0,j) = j
+    eq_n = gj[None, :] == n_col
+    contains_n = (gj[0] <= n_col[:, 0]) & (n_col[:, 0] <= gj[-1])  # (B,)
+    edge_m, acc = carry
+    c0 = gjf[0] - 1.0
+    diag_edge = _shift_rows(edge_m, c0)  # M(0, c0) = c0
+    jloc = jnp.arange(1, chunk + 1, dtype=jnp.float32)
+
+    def row(rc, xs):
+        mp, acc = rc
+        qc, dedge, medge, iarr = xs
+        sub = jnp.where(t_blk == qc[:, None], 0.0, u)
+        diag = jnp.concatenate([dedge[:, None], mp[:, :-1]], axis=1) + sub
+        cand0 = jnp.minimum(diag, mp + 1.0)
+        # row[j] = min(cand0[j], row[j-1]+1): slope-1 min-plus scan,
+        # seed M(i, c0) (chunk 0: the col-0 border M(i,0)=i).
+        cand = cand0 - jloc[None, :]
+        v = jnp.minimum(jax.lax.cummin(cand, axis=1), medge[:, None])
+        m_row = v + jloc[None, :]
+        fin = jnp.min(jnp.where(eq_n, m_row, jnp.inf), axis=1)
+        # latch only in the chunk containing column n (see _affine_chunk)
+        acc = jnp.where((iarr == m_col[:, 0]) & contains_n, fin, acc)
+        return (m_row, acc), m_row[:, -1]
+
+    iarr = jnp.broadcast_to(
+        jnp.arange(1, m_pad + 1, dtype=jnp.int32)[None, :], (B, m_pad)
+    )
+    xs = _row_xs(q.astype(jnp.float32), diag_edge, edge_m, iarr)
+    (mrow, acc), em = jax.lax.scan(row, (row0, acc), xs, unroll=_unroll())
+    return (em.T, acc)
+
+
+# ---------------------------------------------------------------------------
+# fit (M/L/U + optional junction-gated J) — alignment.h:596-694
+# ---------------------------------------------------------------------------
+
+
+def _fit_chunk(use_jump, q, t_blk, allow_blk, gj, m_col, n_col, params,
+               carry):
+    match, mis, o, e, jp = params
+    B, m_pad = q.shape
+    chunk = t_blk.shape[1]
+    # row 0: M = U = 0, L = J = -inf (alignment.h:619-624)
+    m_init = jnp.zeros((B, chunk))
+    l_init = jnp.full((B, chunk), NEG)
+    u_init = jnp.zeros((B, chunk))
+    j_init = jnp.full((B, chunk), NEG)
+    best_init = jnp.zeros((B, chunk))  # max of row-0 states
+    lt_n = gj[None, :] <= n_col - 1  # row-m scan: j in [1, n-1]
+    edge_best, edge_m, edge_u, edge_j, accM, accL = carry
+    # diag at (i-1, c0): row-0 value = M(0,c0)=U(0,c0)=0 (incl. c0=0:
+    # the row-0 loop overwrites M(0,0)=U(0,0)=0, alignment.h:619-624)
+    diag_edge = _shift_rows(edge_best, 0.0)
+    jloc = jnp.arange(1, chunk + 1, dtype=jnp.float32)
+
+    def row(rc, xs):
+        mp, lp, up, jpr, bestp, accM, accL = rc
+        qc, dedge, medge, uedge, jedge, iarr = xs
+        sub = jnp.where(t_blk == qc[:, None], match, mis)
+        shifted_best = jnp.concatenate(
+            [dedge[:, None], bestp[:, :-1]], axis=1
+        )
+        m_row = shifted_best + sub
+        l_row = jnp.maximum(lp + e, mp + o)
+        shifted_m = jnp.concatenate([medge[:, None], m_row[:, :-1]], axis=1)
+        cand = shifted_m + (o - e * jloc[None, :])
+        v = jnp.maximum(jax.lax.cummax(cand, axis=1), uedge[:, None])
+        u_row = v + e * jloc[None, :]
+        if use_jump:
+            # J[j] = max(gated M(i,j-1)+jump, J[j-1]); no slope (free
+            # horizontal extension) -> plain cummax with seed J(i, c0).
+            jc = jnp.where(allow_blk, shifted_m + jp, NEG)
+            j_row = jnp.maximum(
+                jax.lax.cummax(jc, axis=1), jedge[:, None]
+            )
+            best = jnp.maximum(
+                jnp.maximum(m_row, l_row), jnp.maximum(u_row, j_row)
+            )
+        else:
+            j_row = jnp.broadcast_to(jedge[:, None], m_row.shape)
+            best = jnp.maximum(jnp.maximum(m_row, l_row), u_row)
+        at_m = iarr[:, None] == m_col
+        accM = jnp.maximum(
+            accM, jnp.max(jnp.where(lt_n & at_m, m_row, NEG), axis=1)
+        )
+        accL = jnp.maximum(
+            accL, jnp.max(jnp.where(lt_n & at_m, l_row, NEG), axis=1)
+        )
+        ys = (m_row[:, -1], u_row[:, -1], j_row[:, -1], best[:, -1])
+        return (m_row, l_row, u_row, j_row, best, accM, accL), ys
+
+    iarr = jnp.broadcast_to(
+        jnp.arange(1, m_pad + 1, dtype=jnp.int32)[None, :], (B, m_pad)
+    )
+    xs = _row_xs(q.astype(jnp.float32), diag_edge, edge_m, edge_u, edge_j,
+                 iarr)
+    (mr, lr, ur, jr, br, accM, accL), ys = jax.lax.scan(
+        row,
+        (m_init, l_init, u_init, j_init, best_init, accM, accL),
+        xs,
+        unroll=_unroll(),
+    )
+    em, eu, ej, eb = (y.T for y in ys)
+    return (eb, em, eu, ej, accM, accL)
+
+
+# ---------------------------------------------------------------------------
+# public batched fills
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnums=(0, 4))
+def chunked_scores(mode, qs, ts, ns, n_chunk=DEFAULT_CHUNK, params=None):
+    """Batched score-only fill, column-chunked. qs (B, m_pad) i32 (pad
+    < 0), ts (B, n_pad) i32 (pad -2), ns (B,) i32 true target lengths,
+    params (B, 6) f32 [match, mis, o, e, jump, m] (same layout as
+    engine/scan.py fills; per-pair m in params[:, 5]).
+
+    Returns (B,) f32 scores (edit: the float value at (m, n))."""
+    B, m_pad = qs.shape
+    n_pad = ts.shape[1]
+    nblk, chunk = pick_chunk(n_pad, n_chunk)
+    ts = _pad_cols(ts, nblk * chunk, -2)
+    match, mis = params[0, 0], params[0, 1]
+    o, e = params[0, 2], params[0, 3]
+    m_col = params[:, 5:6].astype(jnp.int32)  # (B, 1)
+    n_col = ns[:, None].astype(jnp.int32)
+    t_blks = ts.reshape(B, nblk, chunk).transpose(1, 0, 2)
+    offs = jnp.arange(nblk, dtype=jnp.int32) * chunk
+
+    if mode in ("global", "local"):
+        p = (match, mis, o, e)
+        eb, em, eu = _affine_chunk0_edges(mode, B, m_pad, o, e)
+        if mode == "global":
+            # m==0 degenerate: finals are the row-0 borders at column n
+            nf = ns.astype(jnp.float32)
+            fin0 = jnp.stack(
+                [
+                    jnp.where(ns == 0, o, NEG),  # L(0,n): L(0,0)=o else -inf
+                    jnp.where(ns == 0, 0.0, NEG),  # M(0,n)
+                    jnp.where(ns == 0, o, o + e * nf),  # U(0,n)
+                ],
+                axis=1,
+            )
+            acc0 = fin0
+        else:
+            acc0 = jnp.full((B,), NEG)
+
+        def blk(carry, xs):
+            t_blk, off = xs
+            gj = off + jnp.arange(1, chunk + 1, dtype=jnp.int32)
+            return (
+                _affine_chunk(mode, qs, t_blk, gj, m_col, n_col, p, carry),
+                None,
+            )
+
+        carry, _ = jax.lax.scan(blk, (eb, em, eu, acc0), (t_blks, offs))
+        acc = carry[3]
+        if mode == "global":
+            return jnp.max(acc, axis=1)
+        return acc
+
+    if mode == "overlap":
+        p = (match, mis, o)
+        em = jnp.zeros((B, m_pad))  # col-0 border M(i,0)=0
+        # j=0 border M(m,0)=0 is inside the start scan [0, n-1] iff n >= 1
+        acc0 = jnp.where(ns >= 1, 0.0, NEG)
+
+        def blk(carry, xs):
+            t_blk, off = xs
+            gj = off + jnp.arange(1, chunk + 1, dtype=jnp.int32)
+            return (
+                _overlap_chunk(qs, t_blk, gj, m_col, n_col, p, carry),
+                None,
+            )
+
+        carry, _ = jax.lax.scan(blk, (em, acc0), (t_blks, offs))
+        return carry[1]
+
+    if mode == "edit":
+        u = params[0, 1]
+        ii = jnp.arange(1, m_pad + 1, dtype=jnp.float32)
+        em = jnp.broadcast_to(ii[None, :], (B, m_pad))  # M(i,0)=i
+        acc0 = ns.astype(jnp.float32)  # m==0 degenerate: M(0,n)=n
+
+        def blk(carry, xs):
+            t_blk, off = xs
+            gj = off + jnp.arange(1, chunk + 1, dtype=jnp.int32)
+            return (
+                _edit_chunk(qs, t_blk, gj, m_col, n_col, (u,), carry),
+                None,
+            )
+
+        carry, _ = jax.lax.scan(blk, (em, acc0), (t_blks, offs))
+        return carry[1]
+
+    raise ValueError(mode)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 5))
+def chunked_fit_scores(use_jump, qs, ts, allow, ns, n_chunk=DEFAULT_CHUNK,
+                       params=None):
+    """Fit-mode batched score fill (+ optional junction jump). allow
+    (B, n_pad) bool: jump ENTRY permitted at that column (True where
+    (j-1) is NOT a junction site — the reference's inverted enum-bool
+    gating, alignment.h:657-667; see spec.engine._jscan)."""
+    B, m_pad = qs.shape
+    n_pad = ts.shape[1]
+    nblk, chunk = pick_chunk(n_pad, n_chunk)
+    ts = _pad_cols(ts, nblk * chunk, -2)
+    allow = _pad_cols(allow.astype(jnp.bool_), nblk * chunk, False)
+    match, mis = params[0, 0], params[0, 1]
+    o, e, jp = params[0, 2], params[0, 3], params[0, 4]
+    m_col = params[:, 5:6].astype(jnp.int32)
+    n_col = ns[:, None].astype(jnp.int32)
+    t_blks = ts.reshape(B, nblk, chunk).transpose(1, 0, 2)
+    a_blks = allow.reshape(B, nblk, chunk).transpose(1, 0, 2)
+    offs = jnp.arange(nblk, dtype=jnp.int32) * chunk
+    p = (match, mis, o, e, jp)
+
+    # col-0 edges: all four states -inf for i >= 1 (alignment.h:612-617)
+    neg = jnp.full((B, m_pad), NEG)
+    # m==0 degenerate: the row-m scan runs over row 0, j in [0, n-1],
+    # where M(0,j)=0 (incl. the overwritten M(0,0)=0) -> 0 iff n >= 1
+    acc0M = jnp.where((m_col[:, 0] == 0) & (ns >= 1), 0.0, NEG)
+    acc0L = jnp.full((B,), NEG)
+
+    def blk(carry, xs):
+        t_blk, a_blk, off = xs
+        gj = off + jnp.arange(1, chunk + 1, dtype=jnp.int32)
+        return (
+            _fit_chunk(use_jump, qs, t_blk, a_blk, gj, m_col, n_col, p,
+                       carry),
+            None,
+        )
+
+    carry, _ = jax.lax.scan(
+        blk, (neg, neg, neg, neg, acc0M, acc0L), (t_blks, a_blks, offs)
+    )
+    accM, accL = carry[4], carry[5]
+    # tie: M beats L (strict >, alignment.h:676-690) — score is the max
+    return jnp.maximum(accM, accL)

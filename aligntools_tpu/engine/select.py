@@ -91,3 +91,33 @@ def use_blocked(mode: str, n_pad: int) -> bool:
     """Column-blocked streaming kernel for long targets — all five modes
     (measured 18.4 GCUPS for fit at 2048x131072 vs ~2-4 on XLA)."""
     return n_pad > PALLAS_FLAT_MAX_N_PAD
+
+
+def use_chunked(batch: int, n_pad: int) -> bool:
+    """Column-chunked XLA score engine (engine/chunked.py): the batched
+    row scan in 2048-column chunks with carried row edges, which keeps
+    XLA's fused-carry regime at ANY target length. It owns the whole
+    batch >= bmin score-only regime (v5e round-3 measurements, real
+    engine):
+
+      256x2048^2  local 74.8 / edit 79.1 / overlap 79.3 / global 65.3
+                  GCUPS — vs plain-XLA vmap 63.1/78.9/75.2/67.9 and
+                  Pallas flat 48.7
+      256x8192^2  local 78.9 / global 72.0 / edit 77.9 / overlap 77.4
+                  — vs plain XLA 20.8 (fused-carry spill) and Pallas 40
+      128x8192^2  local 74.5;  256x16384^2 local 62.6 (prototype)
+      fit+jump 128x(512x32768): 48.3 vs Pallas 28.5
+
+    It collapses at batch 64 (1.3 GCUPS — the same XLA small-batch
+    cliff as the plain engine), so the calibrated ``bmin`` still gates
+    Pallas vs XLA. Score-only; pointer-emitting fills route elsewhere.
+    ALIGNTOOLS_NO_CHUNKED=1 disables (escape hatch)."""
+    import os
+
+    if os.environ.get("ALIGNTOOLS_NO_CHUNKED") == "1":
+        return False
+    if not _on_tpu():
+        return False
+    from aligntools_tpu.engine.autotune import table
+
+    return batch >= table()["bmin"]

@@ -49,7 +49,14 @@ def _shift_in(x, col):
 
 
 def _scan_pass(v, k, op, sent):
-    """One Hillis-Steele pass: combine with self shifted right by k lanes."""
+    """One Hillis-Steele pass: combine with self shifted right by k lanes.
+
+    The pad+slice concatenate IS the fast shift on this toolchain: the
+    round-3 decompose probe measured each pass at ~3.4 op-equivalents
+    (max=1, shift the rest), and the obvious alternative — one cyclic
+    pltpu.roll plus a compile-time-constant edge mask — measured ~7%
+    SLOWER end-to-end on v5e across local/global/edit at 256x2048 and
+    32x8192 (hardware A/B, round 3). Keep the concatenate."""
     pad = jnp.full((v.shape[0], k), sent, v.dtype)
     return op(v, jnp.concatenate([pad, v[:, :-k]], axis=1))
 

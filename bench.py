@@ -141,7 +141,7 @@ def _run(backend: str, degraded: bool):
     import jax.numpy as jnp
 
     from aligntools_tpu.engine.scan import local_fill
-    from aligntools_tpu.engine.select import use_pallas
+    from aligntools_tpu.engine.select import use_chunked, use_pallas
     from aligntools_tpu.ops.pallas_scan import pallas_scores
 
     # CPU (native or degraded-fallback) runs shrink the workload: the XLA
@@ -151,7 +151,10 @@ def _run(backend: str, degraded: bool):
     m_pad = n_pad = int(os.environ.get("BENCH_LEN", "512" if cpu else "2048"))
     eng = os.environ.get("BENCH_ENGINE", "auto")
     if eng == "auto":
-        eng = "pallas" if use_pallas(B, m_pad, n_pad) else "xla"
+        if use_chunked(B, n_pad):
+            eng = "chunked"
+        else:
+            eng = "pallas" if use_pallas(B, m_pad, n_pad) else "xla"
 
     rng = np.random.default_rng(0)
     alpha = np.frombuffer(b"ACGT", dtype=np.uint8)
@@ -167,6 +170,19 @@ def _run(backend: str, degraded: bool):
 
         def one(qs):
             return pallas_scores("local", m_pad, n_pad, False, qs, *extra)
+    elif eng == "chunked":
+        from aligntools_tpu.engine import chunked as ck
+
+        ns = np.full(B, n_pad, np.int32)
+        ps = np.zeros((B, 6), np.float32)
+        ps[:, :5] = [1, -2, -5, -1, -10]
+        ps[:, 5] = m_pad
+        extra = tuple(jnp.asarray(a) for a in (ts, ns, ps))
+
+        def one(qs):
+            ts_d, ns_d, ps_d = extra
+            return ck.chunked_scores("local", qs, ts_d, ns_d,
+                                     ck.DEFAULT_CHUNK, params=ps_d)
     else:
         ns = np.full(B, n_pad, np.int32)
         ps = np.zeros((B, 6), np.float32)

@@ -93,6 +93,18 @@ def bench_case(mode, engine, B, L, rng):
                 return jax.vmap(
                     lambda q, t, n, p: fill(q, t, n, p, L, False)
                 )(qs, ts, ns, ps)[0]
+    elif engine == "chunked":
+        from aligntools_tpu.engine import chunked as ck
+
+        ns = jnp.asarray(np.full(B, L, np.int32))
+        ps = np.zeros((B, 6), np.float32)
+        ps[:, :5] = [1, -2, -5, -1, -10]
+        ps[:, 5] = L
+        ps = jnp.asarray(ps)
+
+        def one(qs):
+            return ck.chunked_scores(mode, qs, ts, ns, ck.DEFAULT_CHUNK,
+                                     params=ps)
     else:  # pallas
         ns = jnp.asarray(np.full((B, 1), L, np.int32))
         ms = jnp.asarray(np.full((B, 1), L, np.int32))
@@ -136,6 +148,19 @@ def bench_fit_jump(engine, B, m, L, rng):
                     q, t, n, p, a, L, True, False
                 )
             )(qs, ts, allow_b, ns, ps)[0]
+    elif engine == "chunked":
+        from aligntools_tpu.engine import chunked as ck
+
+        ns = jnp.asarray(np.full(B, L, np.int32))
+        ps = np.zeros((B, 6), np.float32)
+        ps[:, :5] = [1, -2, -5, -1, -10]
+        ps[:, 5] = m
+        ps = jnp.asarray(ps)
+        allow_b = allow > 0.0
+
+        def one(qs):
+            return ck.chunked_fit_scores(True, qs, ts, allow_b, ns,
+                                         ck.DEFAULT_CHUNK, params=ps)
     else:
         ns = jnp.asarray(np.full((B, 1), L, np.int32))
         ms = jnp.asarray(np.full((B, 1), m, np.int32))
@@ -260,9 +285,16 @@ def _case_specs(only):
             for B, L in ((256, 2048), (32, 8192)):
                 for engine in ("xla", "pallas"):
                     specs.append(f"flat:{mode}:{engine}:{B}:{L}")
+            # chunked engine: its regime is batch >= bmin at any L —
+            # include the old sweet spot and the long-target shape the
+            # plain XLA engine spills at
+            specs.append(f"flat:{mode}:chunked:256:2048")
+            specs.append(f"flat:{mode}:chunked:256:8192")
         # fit with jump: the reference's marquee workload shapes
         specs += ["fitjump:xla:64:512:32768",
                   "fitjump:pallas:64:512:32768",
+                  "fitjump:chunked:128:512:32768",
+                  "fitjump:pallas:128:512:32768",
                   "fitjump:blocked:8:2048:131072"]
     return specs
 

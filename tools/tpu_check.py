@@ -365,8 +365,62 @@ def stage_bandedptr(ctx):
         print(f"banded-ptr {mode} W=64 rows: OK", flush=True)
 
 
+def stage_chunked(ctx):
+    """Column-chunked XLA engine (engine/chunked.py) on hardware: scores
+    bit-identical to the spec engine across ragged true lengths and chunk
+    widths (boundaries landing before/on/after each pair's n), incl. the
+    pick_chunk rounding path (n_pad 4608 is not a multiple of 2048)."""
+    import jax.numpy as jnp
+
+    from aligntools_tpu.engine import chunked as ck
+    from aligntools_tpu.spec import engine as spec
+
+    pairs = ctx.gen(8, 100, 512, 1000, 4600)
+    qs, ts, allow, ns, ms = ctx.bucket(pairs, 512, 4608)
+    ps = np.zeros((len(pairs), 6), np.float32)
+    ps[:, :5] = ctx.params[0, :5]
+    ps[:, 5] = ms[:, 0]
+    a = (jnp.asarray(qs), jnp.asarray(ts), jnp.asarray(ns[:, 0]),
+         jnp.asarray(ps))
+    for mode in ("global", "local", "overlap", "edit"):
+        want = [
+            getattr(spec, f"spec_{mode}")(q, t, ctx.p).score
+            if mode != "edit" else float(spec.spec_edit(q, t, ctx.p))
+            for q, t in pairs
+        ]
+        for chunk in (1024, 2048):
+            got = np.asarray(
+                ck.chunked_scores(mode, a[0], a[1], a[2], chunk,
+                                  params=a[3])
+            ).astype(np.float64)
+            assert np.array_equal(got, want), (
+                "chunked", mode, chunk, got[:4], want[:4])
+        print(f"chunked {mode}: OK", flush=True)
+    # fit + junction jump (m <= n holds: gen above keeps m <= 512 < 1000)
+    sites_list = [
+        sorted(int(x) for x in ctx.rng.integers(0, len(t), 4))
+        for _, t in pairs
+    ]
+    allowb = np.ones((len(pairs), 4608), bool)
+    for k, sites in enumerate(sites_list):
+        allowb[k, sites] = False
+    want = [
+        spec.spec_fit(q, t, ctx.p, sites=sites).score
+        for (q, t), sites in zip(pairs, sites_list)
+    ]
+    for chunk in (1024, 2048):
+        got = np.asarray(
+            ck.chunked_fit_scores(True, a[0], a[1], jnp.asarray(allowb),
+                                  a[2], chunk, params=a[3])
+        ).astype(np.float64)
+        assert np.array_equal(got, want), (
+            "chunked fit+jump", chunk, got[:4], want[:4])
+    print("chunked fit+jump: OK", flush=True)
+
+
 STAGES = {
     "flat": stage_flat,
+    "chunked": stage_chunked,
     "scanvar": stage_scanvar,
     "blocked": stage_blocked,
     "blockedptr": stage_blockedptr,
