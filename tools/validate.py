@@ -435,8 +435,74 @@ def section_native_cli(n_per, tmp, binary):
               f"{rows_checked} full-stdout)", flush=True)
 
 
+def section_chunked(n_per, tmp, binary):
+    """Column-chunked XLA engine scores vs the live reference binary.
+
+    Cases are grouped per param set into padded buckets (the engine takes
+    one scoring-param set per batch, like the production bucket path) and
+    filled with chunk=128 so every target crosses at least one chunk
+    boundary; ragged true lengths sit before/on/after the edges."""
+    import jax.numpy as jnp
+
+    from aligntools_tpu.engine import chunked as ck
+    from aligntools_tpu.spec import engine as spec
+
+    rng = np.random.default_rng(47)
+    run_ref = make_ref_runner(binary)
+    n = max(16, n_per // 4)
+    m_pad, n_pad = 128, 256
+    for mode in ("global", "local", "edit", "fit", "overlap"):
+        groups = {}
+        for k in range(n):
+            q, t, p, sites, fa, cmd = gen_case(rng, mode, k, tmp)
+            lines, rc = run_ref(cmd)
+            if rc != 0:
+                continue
+            ref_s = ref_score_rows(lines, mode)[0]
+            # jump and no-jump fit are DIFFERENT DPs (use_jump is one
+            # flag per batch): group by it alongside the param set
+            groups.setdefault(
+                (p.match, p.mismatch, p.gap_open, p.gap_extend, p.jump,
+                 sites is not None),
+                [],
+            ).append((q, t, sites, ref_s))
+        checked = 0
+        for key, cases in groups.items():
+            B = len(cases)
+            qs = np.full((B, m_pad), -1, np.int32)
+            ts = np.full((B, n_pad), -2, np.int32)
+            allow = np.ones((B, n_pad), bool)
+            ps = np.zeros((B, 6), np.float32)
+            ps[:, :5] = key[:5]
+            ns = np.zeros(B, np.int32)
+            use_jump = key[-1] if mode == "fit" else False
+            for r, (q, t, sites, _) in enumerate(cases):
+                qs[r, : len(q)] = np.frombuffer(q, np.uint8)
+                ts[r, : len(t)] = np.frombuffer(t, np.uint8)
+                ps[r, 5] = len(q)
+                ns[r] = len(t)
+                if sites is not None:
+                    allow[r, [s for s in sites if 0 <= s < n_pad]] = False
+            a = (jnp.asarray(qs), jnp.asarray(ts), jnp.asarray(ns),
+                 jnp.asarray(ps))
+            if mode == "fit":
+                got = np.asarray(ck.chunked_fit_scores(
+                    use_jump, a[0], a[1], jnp.asarray(allow), a[2], 128,
+                    params=a[3]))
+            else:
+                got = np.asarray(ck.chunked_scores(
+                    mode, a[0], a[1], a[2], 128, params=a[3]))
+            for r, (q, t, sites, ref_s) in enumerate(cases):
+                g = int(got[r]) if mode == "edit" else float(got[r])
+                assert g == ref_s, ("chunked", mode, key, q, t, g, ref_s)
+                checked += 1
+        print(f"chunked {mode}: OK ({checked}/{n} cases, chunk=128)",
+              flush=True)
+
+
 SECTIONS = {
     "main": section_main,
+    "chunked": section_chunked,
     "banded-full": section_banded_full,
     "rescan": section_rescan,
     "banded-auto": section_banded_auto,
