@@ -27,7 +27,6 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from aligntools_tpu.engine import scan as _scan
 from aligntools_tpu.params import AlignParams
 
 
@@ -48,20 +47,15 @@ def _sharded_fill(mode, n_pad, mesh, qs, ts, ns, ps):
     """
 
     def local(qs, ts, ns, ps):
-        if mode == "edit":
-            vals = jax.vmap(
-                lambda q, t, n, p: _scan.edit_fill(q, t, n, p, n_pad)
-            )(qs, ts, ns, ps)
-        else:
-            fill = {
-                "global": _scan.global_fill,
-                "local": _scan.local_fill,
-                "overlap": _scan.overlap_fill,
-            }[mode]
-            out = jax.vmap(
-                lambda q, t, n, p: fill(q, t, n, p, n_pad, False)
-            )(qs, ts, ns, ps)
-            vals = out[0]
+        # Each device fills its local batch shard on the column-chunked
+        # batched engine (engine/chunked.py) — the fastest score fill in
+        # the large-batch regime a pod shard actually runs (65-79 GCUPS
+        # on v5e; engine/select.use_chunked), and bit-identical to the
+        # vmapped machines everywhere (tests/test_chunked.py).
+        from aligntools_tpu.engine import chunked as ck
+
+        vals = ck.chunked_scores(mode, qs, ts, ns, ck.DEFAULT_CHUNK,
+                                 params=ps)
         total = jax.lax.psum(jnp.sum(jnp.isfinite(vals)), "data")
         gathered = jax.lax.all_gather(vals, "data", tiled=True)
         return gathered, total
