@@ -405,13 +405,39 @@ def align_batch(
             for r, k in enumerate(b.idx):
                 results[k] = int(vals[r])
             continue
+        # Full-alignment fills in the chunked engine's regime ride its
+        # faster fill too — the pointer variants return the exact vmapped
+        # fill tuples (bit-identical bytes/starts, tests/test_chunked.py),
+        # so everything downstream is shared.
+        chunked_full = (
+            traceback
+            and engine == "auto"
+            and mode != "edit"
+            and _select.use_chunked(len(b.idx), b.n_pad)
+        )
         if mode == "fit":
             allowed = jnp.asarray(
                 b.allowed
                 if b.allowed is not None
                 else np.ones((len(b.idx), b.n_pad), dtype=bool)
             )
-            out = _vfill_fit(qs, ts, allowed, b.n_pad, use_jump, traceback, ns, ps)
+            if chunked_full:
+                from aligntools_tpu.engine import chunked as ck
+
+                out = ck.chunked_fit_ptr_fill(
+                    use_jump, qs, ts, allowed, ns, ck.DEFAULT_CHUNK,
+                    params=ps,
+                )
+            else:
+                out = _vfill_fit(
+                    qs, ts, allowed, b.n_pad, use_jump, traceback, ns, ps
+                )
+        elif chunked_full:
+            from aligntools_tpu.engine import chunked as ck
+
+            out = ck.chunked_ptr_fill(
+                mode, qs, ts, ns, ck.DEFAULT_CHUNK, params=ps
+            )
         else:
             out = _vfill(qs, ts, mode, b.n_pad, traceback, ns, ps)
         # On TPU, walk tracebacks on the device: pulling the pointer

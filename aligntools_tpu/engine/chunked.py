@@ -33,13 +33,19 @@ across 1024-4096 — and collapsed to 1.2 at batch 64, so the calibrated
 ``bmin`` batch gate still decides Pallas vs XLA; this engine only moves
 the ``nmax`` ceiling out.
 
-Score-only (like the flat Pallas kernels): pointer-emitting fills route
-elsewhere (ops/pallas_ptr.py / blocked / seqpar). Exact f32 semantics,
-borders, masks, and tie behavior mirror engine/scan.py's machines, which
-are parity-tested against the reference binary (src/alignment.h:417-473,
-805-847, 596-694, 926-964, 291-315). Scores need no tie-break handling:
-max is max; tie order only matters for traceback starts, which this
-engine does not produce.
+Exact f32 semantics, borders, masks, and tie behavior mirror
+engine/scan.py's machines, which are parity-tested against the reference
+binary (src/alignment.h:417-473, 805-847, 596-694, 926-964, 291-315).
+The score fills need no tie-break handling (max is max); the
+POINTER-EMITTING fills below (chunked_ptr_fill / chunked_fit_ptr_fill)
+carry the per-state rows separately, reproduce every earliest-argument
+tie code bit-for-bit in the machines' packed-byte format (scan.py module
+docstring), and reproduce the traceback-start rules — global's L,M,U
+final tie order, local's row-major strictly-greater running argmax
+(lexicographic (value, i, j) fold across chunks), fit's M-beats-L row-m
+scan with the last column excluded, overlap's j=0-inclusive scan — so
+downstream walkers (engine/device_tb, engine/traceback) consume them
+unchanged.
 """
 
 from __future__ import annotations
@@ -489,3 +495,423 @@ def chunked_fit_scores(use_jump, qs, ts, allow, ns, n_chunk=DEFAULT_CHUNK,
     accM, accL = carry[4], carry[5]
     # tie: M beats L (strict >, alignment.h:676-690) — score is the max
     return jnp.maximum(accM, accL)
+
+
+# ---------------------------------------------------------------------------
+# pointer-emitting fills (packed-byte format of engine/scan.py)
+# ---------------------------------------------------------------------------
+
+from aligntools_tpu.engine.scan import (  # noqa: E402
+    PK_L_IS_MID,
+    PK_J_IS_JUMP,
+    PK_M_HOME,
+    PK_M_JUMP,
+    PK_M_LOW,
+    PK_M_MID,
+    PK_M_UNSET,
+    PK_M_UPP,
+    PK_OV_DIAG,
+    PK_OV_LEFT,
+    PK_OV_RIGHT,
+    PK_OV_UNSET,
+    PK_U_IS_UPP,
+)
+
+
+def _shift_cols(row, edge_col):
+    """(B, chunk) -> value at the previous column; lane 0 gets the edge."""
+    return jnp.concatenate([edge_col[:, None], row[:, :-1]], axis=1)
+
+
+def _m_codes(prevs, codes):
+    """Batched _m_candidates (scan.py): earliest-argument argmax codes.
+    ``prevs``: list of (B, chunk) diagonal predecessor values in max5
+    argument order. Returns (best, 3-bit code with UNSET on -inf)."""
+    vals = jnp.stack(prevs)
+    best = vals.max(axis=0)
+    code = jnp.asarray(codes, jnp.uint8)[jnp.argmax(vals, axis=0)]
+    code = jnp.where(best > NEG, code, jnp.uint8(PK_M_UNSET))
+    return best, code
+
+
+def _lexi_update(best, imax, jmax, rb, ri, rj):
+    """Fold one row-candidate into the running row-major argmax: the
+    machines scan row-major with strict >, so the winner is the FIRST
+    cell in row-major order achieving the global max — across chunks
+    (where i restarts) that is the lexicographically smallest (i, j)
+    among maximal cells. Within a chunk rows ascend and the in-row
+    argmax already picks the smallest j, so (i == imax) can only recur
+    with a larger j; only value and i need comparing."""
+    upd = (rb > best) | ((rb == best) & (ri < imax))
+    return (
+        jnp.where(upd, rb, best),
+        jnp.where(upd, ri, imax),
+        jnp.where(upd, rj, jmax),
+    )
+
+
+def _affine_chunk_ptr(mode, q, t_blk, gj, m_col, n_col, params, carry):
+    """Pointer-emitting global/local chunk (score logic mirrors
+    _affine_chunk; state rows carried separately for the tie codes)."""
+    match, mis, o, e = params
+    B, m_pad = q.shape
+    chunk = t_blk.shape[1]
+    gjf = gj.astype(jnp.float32)
+    c0 = gjf[0] - 1.0
+    jloc = jnp.arange(1, chunk + 1, dtype=jnp.float32)
+    if mode == "global":
+        m_init = jnp.full((B, chunk), NEG)
+        l_init = jnp.full((B, chunk), NEG)
+        u_init = o + e * jnp.broadcast_to(gjf, (B, chunk))
+        eq_n = gj[None, :] == n_col
+        contains_n = (gj[0] <= n_col) & (n_col <= gj[-1])
+        # row-0 diag values at column c0 per state (alignment.h:428-441)
+        dl0 = jnp.where(c0 == 0.0, o, NEG)
+        dm0 = jnp.where(c0 == 0.0, 0.0, NEG)
+        du0 = jnp.where(c0 == 0.0, o, o + e * c0)
+    else:  # local calloc-zero borders
+        m_init = jnp.zeros((B, chunk))
+        l_init = jnp.zeros((B, chunk))
+        u_init = jnp.zeros((B, chunk))
+        col_real = gj[None, :] <= n_col
+        dl0 = dm0 = du0 = 0.0
+
+    edge_l, edge_m, edge_u, acc = carry
+    diag_l = _shift_rows(edge_l, dl0)
+    diag_m = _shift_rows(edge_m, dm0)
+    diag_u = _shift_rows(edge_u, du0)
+
+    def row(rc, xs):
+        mp, lp, up, acc = rc
+        qc, dle, dme, due, medge, uedge, iarr = xs
+        sub = jnp.where(t_blk == qc[:, None], match, mis)
+        dl = _shift_cols(lp, dle)
+        dm = _shift_cols(mp, dme)
+        du = _shift_cols(up, due)
+        if mode == "global":
+            # arg order L, M, U (alignment.h:451)
+            best_d, pm = _m_codes([dl, dm, du],
+                                  (PK_M_LOW, PK_M_MID, PK_M_UPP))
+            m_row = best_d + sub
+        else:
+            # arg order L+s, M+s, U+s, 0 (HOME) — alignment.h:825
+            vals = jnp.stack(
+                [dl + sub, dm + sub, du + sub, jnp.zeros_like(sub)]
+            )
+            m_row = vals.max(axis=0)
+            pm = jnp.asarray(
+                (PK_M_LOW, PK_M_MID, PK_M_UPP, PK_M_HOME), jnp.uint8
+            )[jnp.argmax(vals, axis=0)]
+        a = lp + e
+        bb = mp + o
+        l_row = jnp.maximum(a, bb)
+        plbit = jnp.where(a >= bb, jnp.uint8(0), jnp.uint8(PK_L_IS_MID))
+        shifted_m = _shift_cols(m_row, medge)
+        cand = shifted_m + (o - e * jloc[None, :])
+        v = jnp.maximum(jax.lax.cummax(cand, axis=1), uedge[:, None])
+        u_row = v + e * jloc[None, :]
+        a2 = shifted_m + o
+        b2 = _shift_cols(u_row, uedge) + e
+        pubit = jnp.where(a2 >= b2, jnp.uint8(0), jnp.uint8(PK_U_IS_UPP))
+        packed = pm | plbit | pubit
+        i = iarr[:, None]
+        if mode == "global":
+            here = jnp.stack(
+                [
+                    jnp.max(jnp.where(eq_n, l_row, NEG), axis=1),
+                    jnp.max(jnp.where(eq_n, m_row, NEG), axis=1),
+                    jnp.max(jnp.where(eq_n, u_row, NEG), axis=1),
+                ],
+                axis=1,
+            )
+            acc = jnp.where((i == m_col) & contains_n, here, acc)
+        else:
+            masked = jnp.where(col_real & (i <= m_col), m_row, NEG)
+            rb = jnp.max(masked, axis=1)
+            rj = gj[jnp.argmax(masked, axis=1)]
+            acc = _lexi_update(*acc, rb, iarr, rj)
+        ys = (m_row[:, -1], l_row[:, -1], u_row[:, -1], packed)
+        return (m_row, l_row, u_row, acc), ys
+
+    iarr = jnp.broadcast_to(
+        jnp.arange(1, m_pad + 1, dtype=jnp.int32)[None, :], (B, m_pad)
+    )
+    xs = _row_xs(q.astype(jnp.float32), diag_l, diag_m, diag_u, edge_m,
+                 edge_u, iarr)
+    (mr, lr, ur, acc), ys = jax.lax.scan(
+        row, (m_init, l_init, u_init, acc), xs, unroll=_unroll()
+    )
+    em, el, eu, packed = ys[0].T, ys[1].T, ys[2].T, ys[3]
+    return (el, em, eu, acc), packed  # packed: (m_pad, B, chunk)
+
+
+def _overlap_chunk_ptr(q, t_blk, gj, m_col, n_col, params, carry):
+    """Pointer-emitting overlap chunk (codes: LEFT, DIAGONAL, RIGHT
+    argument order, alignment.h:944; UNSET on -inf)."""
+    match, mis, o = params
+    B, m_pad = q.shape
+    chunk = t_blk.shape[1]
+    gjf = gj.astype(jnp.float32)
+    c0 = gjf[0] - 1.0
+    jloc = jnp.arange(1, chunk + 1, dtype=jnp.float32)
+    m_init = jnp.full((B, chunk), NEG)
+    lt_n = gj[None, :] <= n_col - 1
+    edge_m, acc = carry
+    diag_edge = _shift_rows(edge_m, jnp.where(c0 == 0.0, 0.0, NEG))
+
+    def row(rc, xs):
+        mp, acc = rc
+        qc, dedge, medge, iarr = xs
+        sub = jnp.where(t_blk == qc[:, None], match, mis)
+        diag = _shift_cols(mp, dedge) + sub
+        right = mp + o
+        dr = jnp.maximum(diag, right)
+        cand = dr - o * jloc[None, :]
+        v = jnp.maximum(jax.lax.cummax(cand, axis=1), medge[:, None])
+        m_row = v + o * jloc[None, :]
+        a = _shift_cols(m_row, medge) + o
+        val = jnp.maximum(a, dr)
+        code = jnp.where(
+            a >= val,
+            jnp.uint8(PK_OV_LEFT),
+            jnp.where(diag >= right, jnp.uint8(PK_OV_DIAG),
+                      jnp.uint8(PK_OV_RIGHT)),
+        )
+        code = jnp.where(val > NEG, code, jnp.uint8(PK_OV_UNSET))
+        at_m = iarr[:, None] == m_col
+        masked = jnp.where(lt_n & at_m, m_row, NEG)
+        rb = jnp.max(masked, axis=1)
+        rj = gj[jnp.argmax(masked, axis=1)]
+        best, jmax = acc
+        upd = rb > best  # strictly greater: earlier (smaller j) wins ties
+        acc = (jnp.where(upd, rb, best), jnp.where(upd, rj, jmax))
+        return (m_row, acc), (m_row[:, -1], code)
+
+    iarr = jnp.broadcast_to(
+        jnp.arange(1, m_pad + 1, dtype=jnp.int32)[None, :], (B, m_pad)
+    )
+    xs = _row_xs(q.astype(jnp.float32), diag_edge, edge_m, iarr)
+    (mr, acc), ys = jax.lax.scan(row, (m_init, acc), xs, unroll=_unroll())
+    return (ys[0].T, acc), ys[1]
+
+
+def _fit_chunk_ptr(use_jump, q, t_blk, allow_blk, gj, m_col, n_col, params,
+                   carry):
+    """Pointer-emitting fit chunk (M arg order L,M,U[,J]; J entry gating
+    with the inverted enum-bool semantics; alignment.h:596-694)."""
+    match, mis, o, e, jp = params
+    B, m_pad = q.shape
+    chunk = t_blk.shape[1]
+    jloc = jnp.arange(1, chunk + 1, dtype=jnp.float32)
+    m_init = jnp.zeros((B, chunk))
+    l_init = jnp.full((B, chunk), NEG)
+    u_init = jnp.zeros((B, chunk))
+    j_init = jnp.full((B, chunk), NEG)
+    lt_n = gj[None, :] <= n_col - 1
+    edge_l, edge_m, edge_u, edge_j, accM, accL = carry
+    # row-0 diag values: M(0,c0)=U(0,c0)=0 (incl. c0=0), L=J=-inf
+    diag_l = _shift_rows(edge_l, NEG)
+    diag_m = _shift_rows(edge_m, 0.0)
+    diag_u = _shift_rows(edge_u, 0.0)
+    diag_j = _shift_rows(edge_j, NEG)
+
+    def row(rc, xs):
+        mp, lp, up, jpr, accM, accL = rc
+        qc, dle, dme, due, dje, medge, uedge, jedge, iarr = xs
+        sub = jnp.where(t_blk == qc[:, None], match, mis)
+        dl = _shift_cols(lp, dle)
+        dm = _shift_cols(mp, dme)
+        du = _shift_cols(up, due)
+        if use_jump:  # arg order L, M, U, J (alignment.h:635)
+            dj = _shift_cols(jpr, dje)
+            best_d, pm = _m_codes(
+                [dl, dm, du, dj],
+                (PK_M_LOW, PK_M_MID, PK_M_UPP, PK_M_JUMP),
+            )
+        else:  # arg order L, M, U (alignment.h:641)
+            best_d, pm = _m_codes([dl, dm, du],
+                                  (PK_M_LOW, PK_M_MID, PK_M_UPP))
+        m_row = best_d + sub
+        a = lp + e
+        bb = mp + o
+        l_row = jnp.maximum(a, bb)
+        plbit = jnp.where(a >= bb, jnp.uint8(0), jnp.uint8(PK_L_IS_MID))
+        shifted_m = _shift_cols(m_row, medge)
+        cand = shifted_m + (o - e * jloc[None, :])
+        v = jnp.maximum(jax.lax.cummax(cand, axis=1), uedge[:, None])
+        u_row = v + e * jloc[None, :]
+        a2 = shifted_m + o
+        b2 = _shift_cols(u_row, uedge) + e
+        pubit = jnp.where(a2 >= b2, jnp.uint8(0), jnp.uint8(PK_U_IS_UPP))
+        if use_jump:
+            jc = jnp.where(allow_blk, shifted_m + jp, NEG)
+            j_row = jnp.maximum(jax.lax.cummax(jc, axis=1),
+                                jedge[:, None])
+            b3 = _shift_cols(j_row, jedge)
+            pjbit = jnp.where(
+                (jc > NEG) & (jc >= b3), jnp.uint8(0),
+                jnp.uint8(PK_J_IS_JUMP),
+            )
+        else:
+            j_row = jnp.broadcast_to(jedge[:, None], m_row.shape)
+            pjbit = jnp.zeros_like(pm)
+        packed = pm | plbit | pubit | pjbit
+        at_m = iarr[:, None] == m_col
+        mmask = jnp.where(lt_n & at_m, m_row, NEG)
+        lmask = jnp.where(lt_n & at_m, l_row, NEG)
+        mb = jnp.max(mmask, axis=1)
+        mj = gj[jnp.argmax(mmask, axis=1)]
+        lb = jnp.max(lmask, axis=1)
+        lj = gj[jnp.argmax(lmask, axis=1)]
+        bM, jM = accM
+        updM = mb > bM  # strict >: smallest j wins (alignment.h:676-690)
+        accM = (jnp.where(updM, mb, bM), jnp.where(updM, mj, jM))
+        bL, jL = accL
+        updL = lb > bL
+        accL = (jnp.where(updL, lb, bL), jnp.where(updL, lj, jL))
+        ys = (m_row[:, -1], l_row[:, -1], u_row[:, -1], j_row[:, -1],
+              packed)
+        return (m_row, l_row, u_row, j_row, accM, accL), ys
+
+    iarr = jnp.broadcast_to(
+        jnp.arange(1, m_pad + 1, dtype=jnp.int32)[None, :], (B, m_pad)
+    )
+    xs = _row_xs(q.astype(jnp.float32), diag_l, diag_m, diag_u, diag_j,
+                 edge_m, edge_u, edge_j, iarr)
+    (mr, lr, ur, jr, accM, accL), ys = jax.lax.scan(
+        row, (m_init, l_init, u_init, j_init, accM, accL), xs,
+        unroll=_unroll(),
+    )
+    em, el, eu, ej = ys[0].T, ys[1].T, ys[2].T, ys[3].T
+    return (el, em, eu, ej, accM, accL), ys[4]
+
+
+def _assemble_ptrs(packed_blocks, B, m_pad, n_pad):
+    """(nblk, m_pad, B, chunk) packed bytes -> (B, m_pad, n_pad+1) with
+    the machines' zero column 0 prepended."""
+    nblk, _, _, chunk = packed_blocks.shape
+    p = packed_blocks.transpose(2, 1, 0, 3).reshape(B, m_pad, nblk * chunk)
+    p = p[:, :, :n_pad]
+    z = jnp.zeros((B, m_pad, 1), jnp.uint8)
+    return jnp.concatenate([z, p], axis=2)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 4))
+def chunked_ptr_fill(mode, qs, ts, ns, n_chunk=DEFAULT_CHUNK, params=None):
+    """Pointer-emitting batched fill; returns the vmapped engine/scan.py
+    fill tuple per mode (so batch.py's traceback plumbing is unchanged):
+      global:  (score, start_state 0/1/2=L/M/U, ptrs [B, m_pad, n_pad+1])
+      local:   (score, i_max, j_max, ptrs)
+      overlap: (score, j_max, ptrs)
+    """
+    B, m_pad = qs.shape
+    n_pad = ts.shape[1]
+    nblk, chunk = pick_chunk(n_pad, n_chunk)
+    ts = _pad_cols(ts, nblk * chunk, -2)
+    match, mis = params[0, 0], params[0, 1]
+    o, e = params[0, 2], params[0, 3]
+    m_col = params[:, 5:6].astype(jnp.int32)
+    n_col = ns[:, None].astype(jnp.int32)
+    t_blks = ts.reshape(B, nblk, chunk).transpose(1, 0, 2)
+    offs = jnp.arange(nblk, dtype=jnp.int32) * chunk
+
+    if mode in ("global", "local"):
+        p = (match, mis, o, e)
+        ii = jnp.arange(1, m_pad + 1, dtype=jnp.float32)[None, :]
+        if mode == "global":
+            el = jnp.broadcast_to(o + e * ii, (B, m_pad))
+            em = jnp.full((B, m_pad), NEG)
+            eu = jnp.full((B, m_pad), NEG)
+            nf = ns.astype(jnp.float32)
+            acc0 = jnp.stack(
+                [
+                    jnp.where(ns == 0, o, NEG),
+                    jnp.where(ns == 0, 0.0, NEG),
+                    jnp.where(ns == 0, o, o + e * nf),
+                ],
+                axis=1,
+            )
+        else:
+            el = jnp.zeros((B, m_pad))
+            em = jnp.zeros((B, m_pad))
+            eu = jnp.zeros((B, m_pad))
+            acc0 = (jnp.full((B,), NEG), jnp.zeros(B, jnp.int32),
+                    jnp.zeros(B, jnp.int32))
+
+        def blk(carry, xs):
+            t_blk, off = xs
+            gj = off + jnp.arange(1, chunk + 1, dtype=jnp.int32)
+            return _affine_chunk_ptr(mode, qs, t_blk, gj, m_col, n_col, p,
+                                     carry)
+
+        carry, packed = jax.lax.scan(blk, (el, em, eu, acc0),
+                                     (t_blks, offs))
+        ptrs = _assemble_ptrs(packed, B, m_pad, n_pad)
+        if mode == "global":
+            fin = carry[3]
+            # final tie order L, M, U (alignment.h:466-469)
+            return fin.max(axis=1), jnp.argmax(fin, axis=1).astype(
+                jnp.int32), ptrs
+        best, imax, jmax = carry[3]
+        return best, imax, jmax, ptrs
+
+    if mode == "overlap":
+        p = (match, mis, o)
+        em = jnp.zeros((B, m_pad))
+        # j=0 border M(m,0)=0 opens the start scan when n >= 1; strict >
+        # keeps it on ties (argmax over [0, n-1], alignment.h:950-959)
+        acc0 = (jnp.where(ns >= 1, 0.0, NEG), jnp.zeros(B, jnp.int32))
+
+        def blk(carry, xs):
+            t_blk, off = xs
+            gj = off + jnp.arange(1, chunk + 1, dtype=jnp.int32)
+            return _overlap_chunk_ptr(qs, t_blk, gj, m_col, n_col, p,
+                                      carry)
+
+        carry, packed = jax.lax.scan(blk, (em, acc0), (t_blks, offs))
+        ptrs = _assemble_ptrs(packed, B, m_pad, n_pad)
+        best, jmax = carry[1]
+        return best, jmax, ptrs
+
+    raise ValueError(mode)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 5))
+def chunked_fit_ptr_fill(use_jump, qs, ts, allow, ns, n_chunk=DEFAULT_CHUNK,
+                         params=None):
+    """Fit-mode pointer fill; returns (score, start_state 0=MID/1=LOW,
+    j_max, ptrs) like engine/scan.fit_fill."""
+    B, m_pad = qs.shape
+    n_pad = ts.shape[1]
+    nblk, chunk = pick_chunk(n_pad, n_chunk)
+    ts = _pad_cols(ts, nblk * chunk, -2)
+    allow = _pad_cols(allow.astype(jnp.bool_), nblk * chunk, False)
+    match, mis = params[0, 0], params[0, 1]
+    o, e, jp = params[0, 2], params[0, 3], params[0, 4]
+    m_col = params[:, 5:6].astype(jnp.int32)
+    n_col = ns[:, None].astype(jnp.int32)
+    t_blks = ts.reshape(B, nblk, chunk).transpose(1, 0, 2)
+    a_blks = allow.reshape(B, nblk, chunk).transpose(1, 0, 2)
+    offs = jnp.arange(nblk, dtype=jnp.int32) * chunk
+    p = (match, mis, o, e, jp)
+    neg = jnp.full((B, m_pad), NEG)
+    z = jnp.zeros(B, jnp.int32)
+    acc0M = (jnp.where((m_col[:, 0] == 0) & (ns >= 1), 0.0, NEG), z)
+    acc0L = (jnp.full((B,), NEG), z)
+
+    def blk(carry, xs):
+        t_blk, a_blk, off = xs
+        gj = off + jnp.arange(1, chunk + 1, dtype=jnp.int32)
+        return _fit_chunk_ptr(use_jump, qs, t_blk, a_blk, gj, m_col,
+                              n_col, p, carry)
+
+    carry, packed = jax.lax.scan(
+        blk, (neg, neg, neg, neg, acc0M, acc0L), (t_blks, a_blks, offs)
+    )
+    ptrs = _assemble_ptrs(packed, B, m_pad, n_pad)
+    (mb, mj), (lb, lj) = carry[4], carry[5]
+    use_l = lb > mb  # M beats L on ties (alignment.h:676-690)
+    score = jnp.where(use_l, lb, mb)
+    state = jnp.where(use_l, jnp.int32(1), jnp.int32(0))
+    j_max = jnp.where(use_l, lj, mj).astype(jnp.int32)
+    return score, state, j_max, ptrs

@@ -194,3 +194,111 @@ def test_batch_routes_chunked_fit(monkeypatch):
     got = ab.align_batch("fit", pairs, p, sites_list=sites_list,
                          traceback=False)
     assert [w.score for w in want] == [g.score for g in got]
+
+
+@pytest.mark.parametrize("mode", ["global", "local", "overlap"])
+@pytest.mark.parametrize("n_chunk", [128, 256])
+def test_chunked_ptr_matches_scan(mode, n_chunk):
+    """Pointer-emitting chunked fill: packed bytes, traceback starts, and
+    scores all bit-identical to the vmapped engine/scan.py machines."""
+    import jax
+
+    rng = np.random.default_rng(hash((mode, n_chunk, "ptr")) % 2**31)
+    p = AlignParams()
+    qs, ts, ms, ns, m_pad, n_pad = _batch(rng, 10, 70, 500)
+    ps = _params_mat(p, ms)
+    if mode == "global":
+        f = lambda q, t, n, pp: sc.global_fill(q, t, n, pp, n_pad, True)
+    elif mode == "local":
+        f = lambda q, t, n, pp: sc.local_fill(q, t, n, pp, n_pad, True)
+    else:
+        f = lambda q, t, n, pp: sc.overlap_fill(q, t, n, pp, n_pad, True)
+    want = jax.vmap(f)(jnp.asarray(qs), jnp.asarray(ts), jnp.asarray(ns), ps)
+    got = ck.chunked_ptr_fill(
+        mode, jnp.asarray(qs), jnp.asarray(ts), jnp.asarray(ns), n_chunk,
+        params=ps,
+    )
+    assert len(got) == len(want)
+    for k, (w, g) in enumerate(zip(want, got)):
+        w, g = np.asarray(w), np.asarray(g)
+        assert np.array_equal(w, g, equal_nan=True), (
+            mode, n_chunk, f"component {k}", w, g)
+
+
+@pytest.mark.parametrize("use_jump", [False, True])
+def test_chunked_fit_ptr_matches_scan(use_jump):
+    import jax
+
+    rng = np.random.default_rng(29 + use_jump)
+    p = AlignParams(match=2, mismatch=-2)
+    B, n_max = 10, 700
+    alpha = np.frombuffer(b"ACGT", dtype=np.uint8)
+    m_pad, n_pad = sc.pad_len(50), sc.pad_len(n_max)
+    qs = np.full((B, m_pad), -1, np.int32)
+    ts = np.full((B, n_pad), -2, np.int32)
+    allow = np.ones((B, n_pad), bool)
+    ms = rng.integers(1, 51, B)
+    ns = rng.integers(51, n_max + 1, B)
+    for r in range(B):
+        qs[r, : ms[r]] = rng.choice(alpha, ms[r])
+        ts[r, : ns[r]] = rng.choice(alpha, ns[r])
+        if use_jump:
+            allow[r, rng.integers(0, ns[r], 5)] = False
+    ps = _params_mat(p, ms)
+    want = jax.vmap(
+        lambda q, t, n, pp, al: sc.fit_fill(q, t, n, pp, al, n_pad,
+                                            use_jump, True)
+    )(jnp.asarray(qs), jnp.asarray(ts), jnp.asarray(ns), ps,
+      jnp.asarray(allow))
+    got = ck.chunked_fit_ptr_fill(
+        use_jump, jnp.asarray(qs), jnp.asarray(ts), jnp.asarray(allow),
+        jnp.asarray(ns), 256, params=ps,
+    )
+    for k, (w, g) in enumerate(zip(want, got)):
+        w, g = np.asarray(w), np.asarray(g)
+        assert np.array_equal(w, g, equal_nan=True), (
+            use_jump, f"component {k}")
+
+
+def test_batch_full_alignments_route_chunked(monkeypatch):
+    """Traceback path through the chunked pointer fill: AlignResults
+    (scores AND rows) identical to the default CPU routing."""
+    from aligntools_tpu import batch as ab
+    from aligntools_tpu.engine import select as sel
+
+    rng = np.random.default_rng(17)
+    alpha = list(b"ACGT")
+    pairs = [
+        (
+            bytes(rng.choice(alpha, int(rng.integers(1, 60))).tolist()),
+            bytes(rng.choice(alpha, int(rng.integers(1, 300))).tolist()),
+        )
+        for _ in range(10)
+    ]
+    p = AlignParams()
+    for mode in ("global", "local", "overlap"):
+        want = ab.align_batch(mode, pairs, p, traceback=True)
+        monkeypatch.setattr(sel, "use_chunked", lambda b, n: True)
+        got = ab.align_batch(mode, pairs, p, traceback=True)
+        monkeypatch.undo()
+        for w, g in zip(want, got):
+            assert (w.score, w.row1, w.row2) == (g.score, g.row1, g.row2), (
+                mode, w, g)
+    # fit with junction jumps, rows included
+    pairs_f, sites_list = [], []
+    for _ in range(6):
+        m = int(rng.integers(1, 40))
+        n = int(rng.integers(40, 300))
+        pairs_f.append(
+            (bytes(rng.choice(alpha, m).tolist()),
+             bytes(rng.choice(alpha, n).tolist()))
+        )
+        sites_list.append(sorted(int(x) for x in rng.integers(0, n, 3)))
+    pf = AlignParams(match=2, mismatch=-2)
+    want = ab.align_batch("fit", pairs_f, pf, sites_list=sites_list,
+                          traceback=True)
+    monkeypatch.setattr(sel, "use_chunked", lambda b, n: True)
+    got = ab.align_batch("fit", pairs_f, pf, sites_list=sites_list,
+                         traceback=True)
+    for w, g in zip(want, got):
+        assert (w.score, w.row1, w.row2) == (g.score, g.row1, g.row2)

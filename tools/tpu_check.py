@@ -416,6 +416,55 @@ def stage_chunked(ctx):
         assert np.array_equal(got, want), (
             "chunked fit+jump", chunk, got[:4], want[:4])
     print("chunked fit+jump: OK", flush=True)
+    # pointer fills + device walk: rows byte-identical to the XLA engine
+    # (the same plumbing batch.py's chunked_full branch drives)
+    from aligntools_tpu.batch import align_batch
+    from aligntools_tpu.engine import device_tb
+
+    qs2, ts2, _, ns2, ms2 = ctx.bucket(pairs, 512, 4608)
+    ps2 = np.zeros((len(pairs), 6), np.float32)
+    ps2[:, :5] = ctx.params[0, :5]
+    ps2[:, 5] = ms2[:, 0]
+    a2 = (jnp.asarray(qs2), jnp.asarray(ts2), jnp.asarray(ns2[:, 0]),
+          jnp.asarray(ps2))
+    for mode in ("global", "local", "overlap"):
+        want_r = align_batch(mode, pairs, ctx.p, engine="xla")
+        out = ck.chunked_ptr_fill(mode, a2[0], a2[1], a2[2], 1024,
+                                  params=a2[3])
+        score = np.asarray(out[0]).astype(np.float64)
+        assert np.array_equal(score, [w.score for w in want_r]), mode
+        if mode == "global":
+            starts = [(int(np.asarray(out[1])[k]), int(ms2[k, 0]),
+                       int(ns2[k, 0])) for k in range(len(pairs))]
+        elif mode == "local":
+            starts = [(1, int(np.asarray(out[1])[k]),
+                       int(np.asarray(out[2])[k]))
+                      for k in range(len(pairs))]
+        else:
+            starts = [(0, int(ms2[k, 0]), int(np.asarray(out[1])[k]))
+                      for k in range(len(pairs))]
+        rows = device_tb.batch_traceback(
+            mode, out[-1], qs2, ts2, pairs, starts
+        )
+        for k in range(len(pairs)):
+            assert rows[k] == (want_r[k].row1, want_r[k].row2), (mode, k)
+        print(f"chunked-ptr {mode} rows: OK", flush=True)
+    want_r = align_batch("fit", pairs, ctx.p,
+                         sites_list=sites_list, engine="xla")
+    out = ck.chunked_fit_ptr_fill(True, a2[0], a2[1], jnp.asarray(allowb),
+                                  a2[2], 1024, params=a2[3])
+    score = np.asarray(out[0]).astype(np.float64)
+    assert np.array_equal(score, [w.score for w in want_r]), "fit"
+    starts = [
+        (1 if int(np.asarray(out[1])[k]) == 0 else 0, int(ms2[k, 0]),
+         int(np.asarray(out[2])[k]))
+        for k in range(len(pairs))
+    ]
+    rows = device_tb.batch_traceback("fit", out[-1], qs2, ts2, pairs,
+                                     starts)
+    for k in range(len(pairs)):
+        assert rows[k] == (want_r[k].row1, want_r[k].row2), ("fit", k)
+    print("chunked-ptr fit+jump rows: OK", flush=True)
 
 
 STAGES = {
