@@ -218,6 +218,30 @@ def _bench_banded_pair(batch, L, W):
     )
 
 
+def _bench_chunked(batch, n_pad):
+    """Amortized seconds per chunked-engine local fill (engine/chunked.py)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from aligntools_tpu.engine import chunked as ck
+
+    rng = np.random.default_rng(7)
+    alpha = np.frombuffer(b"ACGT", dtype=np.uint8)
+    qs = jnp.asarray(rng.choice(alpha, (batch, n_pad)).astype(np.int32))
+    ts = jnp.asarray(rng.choice(alpha, (batch, n_pad)).astype(np.int32))
+    ns = jnp.asarray(np.full(batch, n_pad, np.int32))
+    ps = np.zeros((batch, 6), np.float32)
+    ps[:, :5] = [1, -2, -5, -1, -10]
+    ps[:, 5] = n_pad
+    ps = jnp.asarray(ps)
+
+    def one(q, te_arg):
+        return ck.chunked_scores("local", q, te_arg, ns, ck.DEFAULT_CHUNK,
+                                 params=ps)
+
+    return _chain_amortized(one, qs, ts)
+
+
 def _bench_flat_tile(tile, batch=256, n_pad=2048):
     """Amortized seconds per flat-Pallas local fill at a forced tile."""
     import jax.numpy as jnp
@@ -258,6 +282,8 @@ def _run_probe_spec(spec: str) -> dict:
         return {"xla": tx, "pallas": tp}
     if f[0] == "flattile":
         return {"s": _bench_flat_tile(int(f[1]))}
+    if f[0] == "chunked":
+        return {"s": _bench_chunked(int(f[1]), int(f[2]))}
     if f[0] == "flatlong":
         return {"s": _bench_flat_tile(int(f[1]), batch=int(f[2]),
                                       n_pad=int(f[3]))}
@@ -417,6 +443,27 @@ def calibrate(force: bool = False, log=print) -> dict:
         result["scan_twolevel"] = bool(tl_ms[True] < tl_ms[False])
     else:
         log("  twolevel calibration incomplete; flag stays off")
+    # 7. chunked-engine batch cliff: smallest batch where the chunked
+    #    engine beats the Pallas kernel (its collapse point is an XLA
+    #    layout pathology that need not track the vmap engine's bmin on
+    #    other device generations). Reuses step 1's pallas timings.
+    chunked_bmin = None
+    for batch in (32, 64, 128, 256):
+        pl = result["measured"].get(f"b{batch}_n2048", {}).get("pallas")
+        if pl is None:
+            continue
+        d = _probe(f"chunked:{batch}:2048", log=log)
+        if d is None:
+            continue
+        result["measured"][f"chunked_b{batch}"] = d["s"]
+        log(f"  chunked b{batch:4d} x 2048^2: {d['s']*1e3:8.2f} ms "
+            f"(pallas {pl*1e3:8.2f} ms)")
+        if d["s"] < pl and chunked_bmin is None:
+            chunked_bmin = batch
+    if chunked_bmin is not None:
+        result["chunked_bmin"] = int(chunked_bmin)
+    else:
+        log("  chunked calibration failed or never wins; bmin fallback")
     os.makedirs(os.path.dirname(path), exist_ok=True)
     tmp = path + ".tmp"
     with open(tmp, "w") as f:

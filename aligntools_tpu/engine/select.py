@@ -120,4 +120,8 @@ def use_chunked(batch: int, n_pad: int) -> bool:
         return False
     from aligntools_tpu.engine.autotune import table
 
-    return batch >= table()["bmin"]
+    t = table()
+    # the chunked engine's own measured batch cliff when calibrate has
+    # one (its collapse point is the XLA small-batch layout pathology,
+    # which need not track the vmap engine's bmin on another device kind)
+    return batch >= t.get("chunked_bmin", t["bmin"])
