@@ -138,7 +138,7 @@ def _affine_chunk(mode, q, t_blk, gj, m_col, n_col, params, carry):
     jloc = jnp.arange(1, chunk + 1, dtype=jnp.float32)
 
     def row(rc, xs):
-        mp, lp, bestp, acc = rc
+        mp, lp, bestp, lat = rc
         qc, dedge, medge, uedge, iarr = xs  # (B,) each
         sub = jnp.where(t_blk == qc[:, None], match, mis)
         shifted_best = jnp.concatenate(
@@ -156,31 +156,47 @@ def _affine_chunk(mode, q, t_blk, gj, m_col, n_col, params, carry):
         u_row = v + e * jloc[None, :]
         best = jnp.maximum(jnp.maximum(m_row, l_row), u_row)
         i = iarr[:, None]  # (B,1) current row index (1-based)
+        # latch whole ROWS here (selects only); the cross-lane reduces
+        # happen once after the loop — a per-row masked reduce costs
+        # ~2 extra full-width ops on the scan's critical path
         if mode == "global":
-            here = jnp.stack(
-                [
-                    jnp.max(jnp.where(eq_n, l_row, NEG), axis=1),
-                    jnp.max(jnp.where(eq_n, m_row, NEG), axis=1),
-                    jnp.max(jnp.where(eq_n, u_row, NEG), axis=1),
-                ],
-                axis=1,
-            )  # (B, 3)
-            # latch ONLY in the chunk whose columns contain n: a later
-            # chunk's all-masked `here` (-inf) must not clobber the final
-            acc = jnp.where((i == m_col) & contains_n, here, acc)
+            at_m = i == m_col
+            lat_l, lat_m, lat_u = lat
+            lat = (
+                jnp.where(at_m, l_row, lat_l),
+                jnp.where(at_m, m_row, lat_m),
+                jnp.where(at_m, u_row, lat_u),
+            )
         else:
-            masked = jnp.where(col_real & (i <= m_col), m_row, NEG)
-            acc = jnp.maximum(acc, jnp.max(masked, axis=1))
+            lat = jnp.maximum(
+                lat, jnp.where(i <= m_col, m_row, NEG)
+            )
         ys = (m_row[:, -1], u_row[:, -1], best[:, -1])
-        return (m_row, l_row, best, acc), ys
+        return (m_row, l_row, best, lat), ys
 
+    if mode == "global":
+        lat0 = (jnp.full((B, chunk), NEG),) * 3
+    else:
+        lat0 = jnp.full((B, chunk), NEG)
     iarr = jnp.arange(1, m_pad + 1, dtype=jnp.int32)
     iarr = jnp.broadcast_to(iarr[None, :], (B, m_pad))
     xs = _row_xs(q.astype(jnp.float32), diag_edge, edge_m, edge_u,
                  iarr.astype(jnp.int32))
-    (mrow, lrow, bestrow, acc), ys = jax.lax.scan(
-        row, (m_init, l_init, best_init, acc), xs, unroll=_unroll()
+    (mrow, lrow, bestrow, lat), ys = jax.lax.scan(
+        row, (m_init, l_init, best_init, lat0), xs, unroll=_unroll()
     )
+    if mode == "global":
+        here = jnp.stack(
+            [jnp.max(jnp.where(eq_n, r, NEG), axis=1) for r in lat],
+            axis=1,
+        )  # (B, 3) — L,M,U at (m, n)
+        # latch ONLY from the chunk whose columns contain n; m == 0
+        # pairs keep their degenerate row-0 init (lat never fired)
+        acc = jnp.where(contains_n & (m_col >= 1), here, acc)
+    else:
+        acc = jnp.maximum(
+            acc, jnp.max(jnp.where(col_real, lat, NEG), axis=1)
+        )
     em, eu, eb = (y.T for y in ys)  # (B, m_pad)
     return (eb, em, eu, acc)
 
@@ -219,7 +235,7 @@ def _overlap_chunk(q, t_blk, gj, m_col, n_col, params, carry):
     jloc = jnp.arange(1, chunk + 1, dtype=jnp.float32)
 
     def row(rc, xs):
-        mp, acc = rc
+        mp, lat = rc
         qc, dedge, medge, iarr = xs
         sub = jnp.where(t_blk == qc[:, None], match, mis)
         diag = jnp.concatenate([dedge[:, None], mp[:, :-1]], axis=1) + sub
@@ -229,17 +245,19 @@ def _overlap_chunk(q, t_blk, gj, m_col, n_col, params, carry):
         cand = dr - o * jloc[None, :]
         v = jnp.maximum(jax.lax.cummax(cand, axis=1), medge[:, None])
         m_row = v + o * jloc[None, :]
-        latch = jnp.max(jnp.where(lt_n, m_row, NEG), axis=1)
-        acc = jnp.where(iarr == m_col[:, 0], jnp.maximum(acc, latch), acc)
-        return (m_row, acc), m_row[:, -1]
+        # latch the whole row-m ROW; reduce once after the loop
+        lat = jnp.where(iarr[:, None] == m_col, m_row, lat)
+        return (m_row, lat), m_row[:, -1]
 
+    lat0 = jnp.full((B, chunk), NEG)
     iarr = jnp.broadcast_to(
         jnp.arange(1, m_pad + 1, dtype=jnp.int32)[None, :], (B, m_pad)
     )
     xs = _row_xs(q.astype(jnp.float32), diag_edge, edge_m, iarr)
-    (mrow, acc), em = jax.lax.scan(
-        row, (m_init, acc), xs, unroll=_unroll()
+    (mrow, lat), em = jax.lax.scan(
+        row, (m_init, lat0), xs, unroll=_unroll()
     )
+    acc = jnp.maximum(acc, jnp.max(jnp.where(lt_n, lat, NEG), axis=1))
     return (em.T, acc)
 
 
@@ -262,7 +280,7 @@ def _edit_chunk(q, t_blk, gj, m_col, n_col, params, carry):
     jloc = jnp.arange(1, chunk + 1, dtype=jnp.float32)
 
     def row(rc, xs):
-        mp, acc = rc
+        mp, lat = rc
         qc, dedge, medge, iarr = xs
         sub = jnp.where(t_blk == qc[:, None], 0.0, u)
         diag = jnp.concatenate([dedge[:, None], mp[:, :-1]], axis=1) + sub
@@ -272,16 +290,21 @@ def _edit_chunk(q, t_blk, gj, m_col, n_col, params, carry):
         cand = cand0 - jloc[None, :]
         v = jnp.minimum(jax.lax.cummin(cand, axis=1), medge[:, None])
         m_row = v + jloc[None, :]
-        fin = jnp.min(jnp.where(eq_n, m_row, jnp.inf), axis=1)
-        # latch only in the chunk containing column n (see _affine_chunk)
-        acc = jnp.where((iarr == m_col[:, 0]) & contains_n, fin, acc)
-        return (m_row, acc), m_row[:, -1]
+        # latch the whole row-m ROW; reduce once after the loop
+        lat = jnp.where(iarr[:, None] == m_col, m_row, lat)
+        return (m_row, lat), m_row[:, -1]
 
+    lat0 = jnp.full((B, chunk), jnp.inf)
     iarr = jnp.broadcast_to(
         jnp.arange(1, m_pad + 1, dtype=jnp.int32)[None, :], (B, m_pad)
     )
     xs = _row_xs(q.astype(jnp.float32), diag_edge, edge_m, iarr)
-    (mrow, acc), em = jax.lax.scan(row, (row0, acc), xs, unroll=_unroll())
+    (mrow, lat), em = jax.lax.scan(row, (row0, lat0), xs,
+                                   unroll=_unroll())
+    fin = jnp.min(jnp.where(eq_n, lat, jnp.inf), axis=1)
+    # latch only in the chunk containing column n; m == 0 pairs keep
+    # their M(0, n) = n init (lat never fired)
+    acc = jnp.where(contains_n & (m_col[:, 0] >= 1), fin, acc)
     return (em.T, acc)
 
 
@@ -309,7 +332,7 @@ def _fit_chunk(use_jump, q, t_blk, allow_blk, gj, m_col, n_col, params,
     jloc = jnp.arange(1, chunk + 1, dtype=jnp.float32)
 
     def row(rc, xs):
-        mp, lp, up, jpr, bestp, accM, accL = rc
+        mp, lp, up, jpr, bestp, latM, latL = rc
         qc, dedge, medge, uedge, jedge, iarr = xs
         sub = jnp.where(t_blk == qc[:, None], match, mis)
         shifted_best = jnp.concatenate(
@@ -334,27 +357,27 @@ def _fit_chunk(use_jump, q, t_blk, allow_blk, gj, m_col, n_col, params,
         else:
             j_row = jnp.broadcast_to(jedge[:, None], m_row.shape)
             best = jnp.maximum(jnp.maximum(m_row, l_row), u_row)
+        # latch whole row-m ROWS (selects only); reduce after the loop
         at_m = iarr[:, None] == m_col
-        accM = jnp.maximum(
-            accM, jnp.max(jnp.where(lt_n & at_m, m_row, NEG), axis=1)
-        )
-        accL = jnp.maximum(
-            accL, jnp.max(jnp.where(lt_n & at_m, l_row, NEG), axis=1)
-        )
+        latM = jnp.where(at_m, m_row, latM)
+        latL = jnp.where(at_m, l_row, latL)
         ys = (m_row[:, -1], u_row[:, -1], j_row[:, -1], best[:, -1])
-        return (m_row, l_row, u_row, j_row, best, accM, accL), ys
+        return (m_row, l_row, u_row, j_row, best, latM, latL), ys
 
+    lat0 = jnp.full((B, chunk), NEG)
     iarr = jnp.broadcast_to(
         jnp.arange(1, m_pad + 1, dtype=jnp.int32)[None, :], (B, m_pad)
     )
     xs = _row_xs(q.astype(jnp.float32), diag_edge, edge_m, edge_u, edge_j,
                  iarr)
-    (mr, lr, ur, jr, br, accM, accL), ys = jax.lax.scan(
+    (mr, lr, ur, jr, br, latM, latL), ys = jax.lax.scan(
         row,
-        (m_init, l_init, u_init, j_init, best_init, accM, accL),
+        (m_init, l_init, u_init, j_init, best_init, lat0, lat0),
         xs,
         unroll=_unroll(),
     )
+    accM = jnp.maximum(accM, jnp.max(jnp.where(lt_n, latM, NEG), axis=1))
+    accL = jnp.maximum(accL, jnp.max(jnp.where(lt_n, latL, NEG), axis=1))
     em, eu, ej, eb = (y.T for y in ys)
     return (eb, em, eu, ej, accM, accL)
 
