@@ -158,15 +158,11 @@ def _affine_chunk(mode, q, t_blk, gj, m_col, n_col, params, carry):
         i = iarr[:, None]  # (B,1) current row index (1-based)
         # latch whole ROWS here (selects only); the cross-lane reduces
         # happen once after the loop — a per-row masked reduce costs
-        # ~2 extra full-width ops on the scan's critical path
+        # ~2 extra full-width ops on the scan's critical path. Score-only
+        # needs max(L,M,U) at (m,n), which IS best — the L/M/U split (the
+        # final tie order) only matters for the ptr variant's start state.
         if mode == "global":
-            at_m = i == m_col
-            lat_l, lat_m, lat_u = lat
-            lat = (
-                jnp.where(at_m, l_row, lat_l),
-                jnp.where(at_m, m_row, lat_m),
-                jnp.where(at_m, u_row, lat_u),
-            )
+            lat = jnp.where(i == m_col, best, lat)
         else:
             lat = jnp.maximum(
                 lat, jnp.where(i <= m_col, m_row, NEG)
@@ -174,10 +170,7 @@ def _affine_chunk(mode, q, t_blk, gj, m_col, n_col, params, carry):
         ys = (m_row[:, -1], u_row[:, -1], best[:, -1])
         return (m_row, l_row, best, lat), ys
 
-    if mode == "global":
-        lat0 = (jnp.full((B, chunk), NEG),) * 3
-    else:
-        lat0 = jnp.full((B, chunk), NEG)
+    lat0 = jnp.full((B, chunk), NEG)
     iarr = jnp.arange(1, m_pad + 1, dtype=jnp.int32)
     iarr = jnp.broadcast_to(iarr[None, :], (B, m_pad))
     xs = _row_xs(q.astype(jnp.float32), diag_edge, edge_m, edge_u,
@@ -186,13 +179,10 @@ def _affine_chunk(mode, q, t_blk, gj, m_col, n_col, params, carry):
         row, (m_init, l_init, best_init, lat0), xs, unroll=_unroll()
     )
     if mode == "global":
-        here = jnp.stack(
-            [jnp.max(jnp.where(eq_n, r, NEG), axis=1) for r in lat],
-            axis=1,
-        )  # (B, 3) — L,M,U at (m, n)
+        here = jnp.max(jnp.where(eq_n, lat, NEG), axis=1)  # best at (m,n)
         # latch ONLY from the chunk whose columns contain n; m == 0
         # pairs keep their degenerate row-0 init (lat never fired)
-        acc = jnp.where(contains_n & (m_col >= 1), here, acc)
+        acc = jnp.where(contains_n[:, 0] & (m_col[:, 0] >= 1), here, acc)
     else:
         acc = jnp.maximum(
             acc, jnp.max(jnp.where(col_real, lat, NEG), axis=1)
@@ -410,17 +400,16 @@ def chunked_scores(mode, qs, ts, ns, n_chunk=DEFAULT_CHUNK, params=None):
         p = (match, mis, o, e)
         eb, em, eu = _affine_chunk0_edges(mode, B, m_pad, o, e)
         if mode == "global":
-            # m==0 degenerate: finals are the row-0 borders at column n
+            # m==0 degenerate: score = max of the row-0 borders at column
+            # n — max(L,M,U)(0,n) = U(0,n) = o+e*n (or 0 at n==0, from
+            # M(0,0)=0 vs L(0,0)=U(0,0)=o with o <= 0; exactness for the
+            # pathological o > 0 is preserved by taking the real max)
             nf = ns.astype(jnp.float32)
-            fin0 = jnp.stack(
-                [
-                    jnp.where(ns == 0, o, NEG),  # L(0,n): L(0,0)=o else -inf
-                    jnp.where(ns == 0, 0.0, NEG),  # M(0,n)
-                    jnp.where(ns == 0, o, o + e * nf),  # U(0,n)
-                ],
-                axis=1,
+            acc0 = jnp.where(
+                ns == 0,
+                jnp.maximum(0.0, o),
+                o + e * nf,
             )
-            acc0 = fin0
         else:
             acc0 = jnp.full((B,), NEG)
 
@@ -433,10 +422,7 @@ def chunked_scores(mode, qs, ts, ns, n_chunk=DEFAULT_CHUNK, params=None):
             )
 
         carry, _ = jax.lax.scan(blk, (eb, em, eu, acc0), (t_blks, offs))
-        acc = carry[3]
-        if mode == "global":
-            return jnp.max(acc, axis=1)
-        return acc
+        return carry[3]
 
     if mode == "overlap":
         p = (match, mis, o)
