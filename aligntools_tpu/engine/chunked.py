@@ -78,6 +78,11 @@ def _pad_cols(x, total, fill):
 
 
 def _unroll() -> int:
+    import os
+
+    env = os.environ.get("ALIGNTOOLS_CHUNK_UNROLL")
+    if env:
+        return int(env)
     from aligntools_tpu.engine.scan import _unroll as u
 
     return u()

@@ -98,15 +98,14 @@ def use_chunked(batch: int, n_pad: int) -> bool:
     row scan in 2048-column chunks with carried row edges, which keeps
     XLA's fused-carry regime at ANY target length. It owns the whole
     batch >= bmin score-only regime (v5e round-3 measurements, real
-    engine):
+    engine, after the row-latch/best-latch trims):
 
-      256x2048^2  local 74.8 / edit 79.1 / overlap 79.3 / global 65.3
-                  GCUPS — vs plain-XLA vmap 63.1/78.9/75.2/67.9 and
-                  Pallas flat 48.7
-      256x8192^2  local 78.9 / global 72.0 / edit 77.9 / overlap 77.4
-                  — vs plain XLA 20.8 (fused-carry spill) and Pallas 40
+      256x2048^2  global 82.3 / overlap 79.6 / edit 79.3 / local 77.9
+                  GCUPS — vs plain-XLA vmap 63-79 and Pallas flat 48.7
+      256x8192^2  local 79.9 (was 20.8 plain XLA fused-carry spill,
+                  40 Pallas); other modes 72-78
       128x8192^2  local 74.5;  256x16384^2 local 62.6 (prototype)
-      fit+jump 128x(512x32768): 48.3 vs Pallas 28.5
+      fit+jump 128x(512x32768): 49.7 vs Pallas 28.5
 
     It collapses at batch 64 (1.3 GCUPS — the same XLA small-batch
     cliff as the plain engine), so the calibrated ``bmin`` still gates
