@@ -71,15 +71,42 @@ def _sharded_fill(mode, n_pad, mesh, qs, ts, ns, ps):
     )(qs, ts, ns, ps)
 
 
+@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+def _sharded_fill_fit(use_jump, n_pad, mesh, qs, ts, allow, ns, ps):
+    """Fit-mode (+ optional junction jump) sharded score fill — same
+    collectives as _sharded_fill, with the per-pair jump-entry mask
+    sharded alongside the batch."""
+
+    def local(qs, ts, allow, ns, ps):
+        from aligntools_tpu.engine import chunked as ck
+
+        vals = ck.chunked_fit_scores(use_jump, qs, ts, allow, ns,
+                                     ck.DEFAULT_CHUNK, params=ps)
+        total = jax.lax.psum(jnp.sum(jnp.isfinite(vals)), "data")
+        gathered = jax.lax.all_gather(vals, "data", tiled=True)
+        return gathered, total
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P("data"),) * 5,
+        out_specs=(P(), P()),
+        check_vma=False,
+    )(qs, ts, allow, ns, ps)
+
+
 def batch_scores_sharded(
     mode: str,
     pairs: Sequence[tuple[bytes, bytes]],
     params: AlignParams = AlignParams(),
     mesh: Mesh | None = None,
+    sites_list: Sequence[Sequence[int] | None] | None = None,
 ) -> np.ndarray:
     """Data-parallel score-only batch over the mesh. Pads the batch count
     to a multiple of the mesh size; all pairs share one shape bucket
-    (max-length padding) so every device executes the same program."""
+    (max-length padding) so every device executes the same program.
+    ``sites_list`` (fit mode): per-pair junction sites — enables the
+    jump state with its entry mask sharded alongside the batch."""
     from aligntools_tpu.batch import bucket_len
 
     if mesh is None:
@@ -111,13 +138,28 @@ def batch_scores_sharded(
     # the same input), so the per-shard callback just slices — this is
     # the multi-process-correct construction (device_put with a global
     # array only works single-process) and identical on one process
+    host = [q, t, ns, pmat]
+    if mode == "fit":
+        allow = np.ones((Bp, n_pad), dtype=bool)
+        use_jump = sites_list is not None
+        if use_jump:
+            for k, sites in enumerate(sites_list):
+                if sites:
+                    s = np.asarray(
+                        [x for x in sites if 0 <= x < n_pad], np.int64
+                    )
+                    allow[k, s] = False
+        host.insert(2, allow)
     args = [
         jax.make_array_from_callback(
             a.shape, shard, lambda idx, a=a: a[idx]
         )
-        for a in (q, t, ns, pmat)
+        for a in host
     ]
-    scores, _ = _sharded_fill(mode, n_pad, mesh, *args)
+    if mode == "fit":
+        scores, _ = _sharded_fill_fit(use_jump, n_pad, mesh, *args)
+    else:
+        scores, _ = _sharded_fill(mode, n_pad, mesh, *args)
     out = np.asarray(scores)[:B]
     if mode == "edit":
         return out.astype(np.int64)

@@ -44,3 +44,24 @@ def test_mesh_subset():
     got = batch_scores_sharded("global", pairs, AlignParams(), mesh)
     want = batch_scores("global", pairs, AlignParams())
     assert np.array_equal(got, want)
+
+
+@pytest.mark.parametrize("with_sites", [False, True])
+def test_sharded_fit_matches_unsharded(with_sites):
+    """dp-sharded fit (+jump): the per-pair junction entry mask shards
+    alongside the batch; scores bit-equal to the single-device path."""
+    rng = np.random.default_rng(27)
+    pairs, sites_list = [], []
+    for _ in range(11):  # not a multiple of 8
+        m = int(rng.integers(1, 40))
+        n = int(rng.integers(40, 200))
+        pairs.append(
+            (bytes(rng.choice(list(ALPHA), m).tolist()),
+             bytes(rng.choice(list(ALPHA), n).tolist()))
+        )
+        sites_list.append(sorted(int(x) for x in rng.integers(0, n, 3)))
+    p = AlignParams(match=2, mismatch=-2)
+    sl = sites_list if with_sites else None
+    got = batch_scores_sharded("fit", pairs, p, make_mesh(), sites_list=sl)
+    want = batch_scores("fit", pairs, p, sites_list=sl)
+    assert np.array_equal(got, want)
