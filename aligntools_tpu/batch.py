@@ -246,8 +246,16 @@ def _chunked_bucket_scores(mode, b, params: AlignParams, use_jump: bool):
             use_jump, qs, ts, allowed, ns, ck.DEFAULT_CHUNK, params=ps
         )
     else:
+        # static param property: all penalties non-positive lets local
+        # skip its per-row latch mask (chunked_scores.decaying_params)
+        decay = (
+            params.mismatch <= 0
+            and params.gap_open <= 0
+            and params.gap_extend <= 0
+        )
         out = ck.chunked_scores(
-            mode, qs, ts, ns, ck.DEFAULT_CHUNK, params=ps
+            mode, qs, ts, ns, ck.DEFAULT_CHUNK, params=ps,
+            decaying_params=decay,
         )
     return np.asarray(out)
 

@@ -108,10 +108,20 @@ def _shift_rows(edge, row0_val):
 # ---------------------------------------------------------------------------
 
 
-def _affine_chunk(mode, q, t_blk, gj, m_col, n_col, params, carry):
+def _affine_chunk(mode, q, t_blk, gj, m_col, n_col, params, carry,
+                  lat_unmasked=False):
     """One chunk of the global/local fill. gj: (chunk,) global column
     indices (1-based) of this block. carry: (edge_best, edge_m, edge_u,
-    fin(B,3)|best(B,)) — edges at the column just left of this block."""
+    fin(B,3)|best(B,)) — edges at the column just left of this block.
+
+    ``lat_unmasked`` (local only): skip the per-row ``i <= m`` latch mask.
+    Exact when mismatch/gap_open/gap_extend <= 0 and m >= 1: pad-row
+    values are then bounded by the real running max — row m+1 satisfies
+    M(m+1,j) = max(best(m,j-1)+mis, 0) <= max(Mmax+mis, 0) <= Mmax (the
+    real Mmax is >= 0 with m,n >= 1, and L/U are M-prefix maxes plus
+    non-positive gaps), and induction carries the bound through later
+    pad rows and across chunk edges. The caller guards the params
+    statically and fixes m == 0 pairs after the fold."""
     match, mis, o, e = params
     B, m_pad = q.shape
     chunk = t_blk.shape[1]
@@ -168,6 +178,8 @@ def _affine_chunk(mode, q, t_blk, gj, m_col, n_col, params, carry):
         # final tie order) only matters for the ptr variant's start state.
         if mode == "global":
             lat = jnp.where(i == m_col, best, lat)
+        elif lat_unmasked:
+            lat = jnp.maximum(lat, m_row)
         else:
             lat = jnp.maximum(
                 lat, jnp.where(i <= m_col, m_row, NEG)
@@ -382,12 +394,19 @@ def _fit_chunk(use_jump, q, t_blk, allow_blk, gj, m_col, n_col, params,
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnums=(0, 4))
-def chunked_scores(mode, qs, ts, ns, n_chunk=DEFAULT_CHUNK, params=None):
+@functools.partial(jax.jit, static_argnums=(0, 4),
+                   static_argnames=("decaying_params",))
+def chunked_scores(mode, qs, ts, ns, n_chunk=DEFAULT_CHUNK, params=None,
+                   decaying_params=False):
     """Batched score-only fill, column-chunked. qs (B, m_pad) i32 (pad
     < 0), ts (B, n_pad) i32 (pad -2), ns (B,) i32 true target lengths,
     params (B, 6) f32 [match, mis, o, e, jump, m] (same layout as
     engine/scan.py fills; per-pair m in params[:, 5]).
+
+    ``decaying_params`` (STATIC): the caller asserts mismatch, gap_open
+    and gap_extend are all <= 0 — local then skips its per-row latch
+    mask (see _affine_chunk.lat_unmasked), with m == 0 pairs fixed after
+    the fold. Passing it with positive penalties corrupts local scores.
 
     Returns (B,) f32 scores (edit: the float value at (m, n))."""
     B, m_pad = qs.shape
@@ -418,16 +437,24 @@ def chunked_scores(mode, qs, ts, ns, n_chunk=DEFAULT_CHUNK, params=None):
         else:
             acc0 = jnp.full((B,), NEG)
 
+        unmask = decaying_params and mode == "local"
+
         def blk(carry, xs):
             t_blk, off = xs
             gj = off + jnp.arange(1, chunk + 1, dtype=jnp.int32)
             return (
-                _affine_chunk(mode, qs, t_blk, gj, m_col, n_col, p, carry),
+                _affine_chunk(mode, qs, t_blk, gj, m_col, n_col, p, carry,
+                              lat_unmasked=unmask),
                 None,
             )
 
         carry, _ = jax.lax.scan(blk, (eb, em, eu, acc0), (t_blks, offs))
-        return carry[3]
+        acc = carry[3]
+        if unmask:
+            # the unmasked latch picks up pad-row values for m == 0
+            # pairs (whose true score is -inf: no real cells)
+            acc = jnp.where(m_col[:, 0] >= 1, acc, NEG)
+        return acc
 
     if mode == "overlap":
         p = (match, mis, o)

@@ -37,8 +37,8 @@ def make_mesh(n_devices: int | None = None, axis: str = "data") -> Mesh:
     return Mesh(np.asarray(devs), (axis,))
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2))
-def _sharded_fill(mode, n_pad, mesh, qs, ts, ns, ps):
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 7))
+def _sharded_fill(mode, n_pad, mesh, qs, ts, ns, ps, decay=False):
     """Score-only fill with the batch axis sharded over mesh('data').
 
     Returns (scores [B] replicated, n_finite [] psum'd cell-count stat) —
@@ -55,7 +55,7 @@ def _sharded_fill(mode, n_pad, mesh, qs, ts, ns, ps):
         from aligntools_tpu.engine import chunked as ck
 
         vals = ck.chunked_scores(mode, qs, ts, ns, ck.DEFAULT_CHUNK,
-                                 params=ps)
+                                 params=ps, decaying_params=decay)
         total = jax.lax.psum(jnp.sum(jnp.isfinite(vals)), "data")
         gathered = jax.lax.all_gather(vals, "data", tiled=True)
         return gathered, total
@@ -159,7 +159,12 @@ def batch_scores_sharded(
     if mode == "fit":
         scores, _ = _sharded_fill_fit(use_jump, n_pad, mesh, *args)
     else:
-        scores, _ = _sharded_fill(mode, n_pad, mesh, *args)
+        decay = (
+            params.mismatch <= 0
+            and params.gap_open <= 0
+            and params.gap_extend <= 0
+        )
+        scores, _ = _sharded_fill(mode, n_pad, mesh, *args, decay)
     out = np.asarray(scores)[:B]
     if mode == "edit":
         return out.astype(np.int64)

@@ -182,7 +182,8 @@ def _run(backend: str, degraded: bool):
         def one(qs):
             ts_d, ns_d, ps_d = extra
             return ck.chunked_scores("local", qs, ts_d, ns_d,
-                                     ck.DEFAULT_CHUNK, params=ps_d)
+                                     ck.DEFAULT_CHUNK, params=ps_d,
+                                     decaying_params=True)
     else:
         ns = np.full(B, n_pad, np.int32)
         ps = np.zeros((B, 6), np.float32)

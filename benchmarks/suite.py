@@ -104,7 +104,7 @@ def bench_case(mode, engine, B, L, rng):
 
         def one(qs):
             return ck.chunked_scores(mode, qs, ts, ns, ck.DEFAULT_CHUNK,
-                                     params=ps)
+                                     params=ps, decaying_params=True)
     else:  # pallas
         ns = jnp.asarray(np.full((B, 1), L, np.int32))
         ms = jnp.asarray(np.full((B, 1), L, np.int32))

@@ -302,3 +302,21 @@ def test_batch_full_alignments_route_chunked(monkeypatch):
                          traceback=True)
     for w, g in zip(want, got):
         assert (w.score, w.row1, w.row2) == (g.score, g.row1, g.row2)
+
+
+def test_decaying_params_fast_path():
+    """local's unmasked latch (decaying_params=True) must be bit-equal
+    to the masked path for non-positive penalties — incl. ragged m with
+    m=0 pairs whose unmasked latch picks up pad-row values and is fixed
+    after the fold."""
+    rng = np.random.default_rng(41)
+    p = AlignParams()  # mis=-2, o=-5, e=-1: decaying
+    qs, ts, ms, ns, m_pad, n_pad = _batch(rng, 16, 90, 700)
+    ms[0] = 0  # the degenerate m=0 fix must be exercised
+    qs[0, :] = -1
+    ps = _params_mat(p, ms)
+    a = (jnp.asarray(qs), jnp.asarray(ts), jnp.asarray(ns))
+    slow = np.asarray(ck.chunked_scores("local", *a, 256, params=ps))
+    fast = np.asarray(ck.chunked_scores("local", *a, 256, params=ps,
+                                        decaying_params=True))
+    assert np.array_equal(slow, fast, equal_nan=True)

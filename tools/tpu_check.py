@@ -395,6 +395,13 @@ def stage_chunked(ctx):
             ).astype(np.float64)
             assert np.array_equal(got, want), (
                 "chunked", mode, chunk, got[:4], want[:4])
+        if mode == "local":
+            # the production fast path (ctx.p penalties are decaying)
+            got = np.asarray(
+                ck.chunked_scores(mode, a[0], a[1], a[2], 2048,
+                                  params=a[3], decaying_params=True)
+            ).astype(np.float64)
+            assert np.array_equal(got, want), ("chunked decay", got[:4])
         print(f"chunked {mode}: OK", flush=True)
     # fit + junction jump (m <= n holds: gen above keeps m <= 512 < 1000)
     sites_list = [
