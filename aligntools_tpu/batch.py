@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import time
 from typing import Sequence
 
 import jax
@@ -82,55 +83,131 @@ class _Bucket:
     allowed: np.ndarray | None = None  # [B, n_pad] bool (fit -s)
 
 
-MAX_BUCKETS = 16  # total-shape budget the ladder may grow a workload to
+MAX_BUCKETS = 32  # default total-shape (compile) budget; see _bucket_budget
 
 
-def _bucket_keys(pairs, m_floor, n_floor, max_buckets=MAX_BUCKETS):
-    """Per-pair (m_pad, n_pad) shape keys: powers of two refined by the
-    quantum ladder under an explicit compile budget.
+def _bucket_budget() -> int:
+    """Shape budget for _bucket_keys: env ALIGNTOOLS_MAX_BUCKETS, then
+    the per-device calibration table (``aligntools calibrate`` measures
+    per-shape compile cost — engine/autotune.py), then MAX_BUCKETS.
 
-    Start from the round-1 pow2 partition (the compile-count baseline),
-    then split individual pow2 buckets into finer rungs — each split is
-    scored by padded cells saved per extra compiled shape, and splits
-    are taken greedily while the total shape count stays within
-    ``max(max_buckets, pow2 count)``. Real workloads cluster by length
-    (read-length distributions are narrow), so the few buckets holding
-    the mass split first: a cluster at n=3000 pads to 3072, not 4096.
-    A full log-uniform length spray already spends the budget on its
-    pow2 partition and degrades to exactly the round-1 behavior."""
-    pow2 = [
-        (bucket_len(len(q), m_floor, 1), bucket_len(len(t), n_floor, 1))
-        for q, t in pairs
-    ]
-    groups: dict[tuple, list[int]] = {}
-    for i, key in enumerate(pow2):
-        groups.setdefault(key, []).append(i)
-    budget = max(max_buckets, len(groups)) - len(groups)
-    if budget <= 0:
-        return pow2
-    cands = []  # (saved_per_extra, extra, pow2_key, {idx: fine_key})
-    for key, idxs in groups.items():
-        base = key[0] * key[1]
-        for steps in (4, 2):
-            fine = {
-                i: (bucket_len(len(pairs[i][0]), m_floor, steps),
-                    bucket_len(len(pairs[i][1]), n_floor, steps))
-                for i in idxs
-            }
-            extra = len(set(fine.values())) - 1
-            saved = sum(base - mk * nk for mk, nk in fine.values())
-            if saved > 0:
-                cands.append((saved / (extra + 1), extra, key, fine))
-    cands.sort(key=lambda c: -c[0])
-    out = list(pow2)
-    done = set()
-    for _, extra, key, fine in cands:
-        if key in done or extra > budget:
-            continue
-        done.add(key)
-        budget -= extra
-        for i, fk in fine.items():
-            out[i] = fk
+    Economics (measured, docs/DESIGN.md §8): on the clustered synthetic
+    read-length workload the greedy splitter reaches pad efficiency
+    0.80 at 16 shapes and 0.86 at 32 (the structural optimum per extra
+    shape flattens fast — an exact staircase DP also gives 0.80 at 16),
+    while a chunked-engine shape compiles once per process. Services and
+    multi-chunk pipelines amortize compiles; one-shot small workloads
+    never split this far anyway because greedy stops when no split
+    saves cells."""
+    import os
+
+    env = os.environ.get("ALIGNTOOLS_MAX_BUCKETS")
+    if env:
+        return max(1, int(env))
+    try:
+        from aligntools_tpu.engine.autotune import table
+
+        if _on_tpu():
+            return int(table().get("bucket_budget", MAX_BUCKETS))
+    except Exception:
+        pass
+    return MAX_BUCKETS
+
+
+def _align_m(x: int, m_floor: int) -> int:
+    """Smallest valid m_pad >= x: multiple of 16 (DMA/pointer-pack
+    alignment), floored at the bucket quantum."""
+    return max(m_floor, -(-int(x) // 16) * 16)
+
+
+def _align_n(x: int, n_floor: int) -> int:
+    """Smallest valid n_pad >= x: lane-aligned (128), floored; above the
+    flat-kernel ceiling snapped to blocked c_blk multiples (the
+    column-streamed kernel requires n_pad % c_blk == 0)."""
+    b = max(n_floor, -(-int(x) // 128) * 128)
+    if b > _select.PALLAS_FLAT_MAX_N_PAD:
+        c = _select.BLOCKED_C_BLK
+        b = -(-b // c) * c
+    return b
+
+
+def _bucket_keys(pairs, m_floor, n_floor, max_buckets=None):
+    """Per-pair (m_pad, n_pad) shape keys minimizing padded cells under
+    a compile budget (greedy optimal-split partition).
+
+    Start from ONE bucket at the workload max shape; repeatedly take the
+    bucket split with the best global padded-cells saving — for each
+    bucket the candidate is the single cut (along m or n, over sorted
+    hardware-aligned values, evaluated exactly with prefix/suffix maxes
+    of the other dimension) that minimizes that bucket's cells — until
+    the budget is spent or no split saves anything. Real workloads
+    cluster by length, so the clusters separate in the first few splits;
+    measured on the benchmark's clustered synthetic (m~300 +-20%,
+    n~3000 +-25%): 0.80 true/padded cells at 16 shapes and 0.86 at 32,
+    vs 0.68 for the round-3 quantum ladder and 0.46 for pure pow2. A
+    log-uniform spray stays within max(budget, its pow2 shape count)
+    and still beats pow2 cells (0.74 vs 0.49)."""
+    P = len(pairs)
+    if P == 0:
+        return []
+    if max_buckets is None:
+        max_buckets = _bucket_budget()
+    ms = np.fromiter((len(q) for q, _ in pairs), np.int64, P)
+    ns = np.fromiter((len(t) for _, t in pairs), np.int64, P)
+    m_al = np.fromiter((_align_m(x, m_floor) for x in ms), np.int64, P)
+    n_al = np.fromiter((_align_n(x, n_floor) for x in ns), np.int64, P)
+    # budget floor: never fewer shapes than the pow2 partition would use
+    # (keeps the spray worst case at its round-1 compile count)
+    pow2 = {
+        (bucket_len(int(a), m_floor, 1), bucket_len(int(b), n_floor, 1))
+        for a, b in zip(ms, ns)
+    }
+    budget = max(max_buckets, len(pow2))
+
+    def best_split(idxs):
+        """(cells_saved, (left_idxs, right_idxs)) for the best single
+        cut of this bucket, or (0, None)."""
+        base = m_al[idxs].max() * n_al[idxs].max() * len(idxs)
+        best_sav, best_sp = 0, None
+        for s_al, o_al in ((m_al, n_al), (n_al, m_al)):
+            order = idxs[np.argsort(s_al[idxs], kind="stable")]
+            sv, ov = s_al[order], o_al[order]
+            if sv[0] == sv[-1]:
+                continue
+            pref_o = np.maximum.accumulate(ov)
+            suff_o = np.maximum.accumulate(ov[::-1])[::-1]
+            pref_s = np.maximum.accumulate(sv)
+            k = np.arange(1, len(order))
+            left = pref_s[:-1] * pref_o[:-1] * k
+            right = sv[-1] * suff_o[1:] * (len(order) - k)
+            tot = np.where(sv[:-1] != sv[1:], left + right,
+                           np.iinfo(np.int64).max)
+            kk = int(np.argmin(tot))
+            sav = int(base - tot[kk])
+            if sav > best_sav:
+                best_sav = sav
+                best_sp = (order[: kk + 1], order[kk + 1 :])
+        return best_sav, best_sp
+
+    buckets = [np.arange(P)]
+    cache: list = [None]  # best_split per bucket, computed lazily
+    while len(buckets) < budget:
+        for i in range(len(buckets)):
+            if cache[i] is None:
+                cache[i] = best_split(buckets[i])
+        i = max(range(len(buckets)), key=lambda i: cache[i][0])
+        sav, sp = cache[i]
+        if sav <= 0:
+            break
+        left, right = sp
+        buckets[i], cache[i] = left, None
+        buckets.append(right)
+        cache.append(None)
+    out = [None] * P
+    for idxs in buckets:
+        shape = (int(m_al[idxs].max()), int(n_al[idxs].max()))
+        for i in idxs:
+            out[i] = shape
     return out
 
 
@@ -293,12 +370,23 @@ def _pallas_bucket_scores(mode, b, params: AlignParams, use_jump: bool):
     return np.asarray(out)[:B]
 
 
-def _pallas_bucket_full(mode, b, params, use_jump, pairs, results):
+def _tick(counters, field: str, t0: float) -> float:
+    """Accumulate a stage duration into ``counters.field``; returns a new
+    t0 so call sites can chain stages."""
+    t1 = time.perf_counter()
+    if counters is not None:
+        setattr(counters, field, getattr(counters, field) + t1 - t0)
+    return t1
+
+
+def _pallas_bucket_full(mode, b, params, use_jump, pairs, results,
+                        counters=None):
     """Full-alignment bucket on the pointer-emitting Pallas kernel + the
     on-device batched walk: the pointer tensor never leaves the chip."""
     from aligntools_tpu.engine import device_tb
     from aligntools_tpu.ops import pallas_ptr as pp
 
+    t0 = time.perf_counter()
     args, B, qs_np, ts_np = _kernel_arrays(b, params)
     jump = use_jump and mode == "fit"
     # pack pointers as tightly as the mode allows: overlap cells are 2
@@ -338,6 +426,7 @@ def _pallas_bucket_full(mode, b, params, use_jump, pairs, results):
                   for r in range(B)]
     else:  # overlap
         starts = [(0, b.m[r], int(a[r])) for r in range(B)]
+    t0 = _tick(counters, "fill_seconds", t0)
     bpairs = [pairs[k] for k in b.idx]
     rows = device_tb.batch_traceback(
         mode, ptrs[:B], qs_np[:B], ts_np[:B], bpairs, starts, col_base=1,
@@ -345,6 +434,254 @@ def _pallas_bucket_full(mode, b, params, use_jump, pairs, results):
     )
     for r, k in enumerate(b.idx):
         results[k] = AlignResult(float(score[r]), *rows[r])
+    _tick(counters, "walk_seconds", t0)
+
+
+# ---------------------------------------------------------------------------
+# Full-alignment (rows) path: HBM budget router
+#
+# The pointer tensor is the only O(B*m*n) allocation in the system; at
+# 256 x 8192^2 an unpacked byte layout is 16 GiB — a whole v5e chip. The
+# router (a) packs pointers as tightly as the mode allows (nibble for the
+# affine family, 2-bit for overlap — chunked fills emit packed bytes
+# inside the scan and are walked in their raw block layout, so peak HBM
+# is exactly the packed bytes), (b) slices a bucket's batch so one fill's
+# tensor fits the budget, and (c) when even a single pair cannot fit,
+# falls back to engine/rescan.py (O(m*n/S) checkpoints, validated at 1M
+# columns). No full-alignment shape can OOM. Reference-at-scale behavior
+# being matched: the traceback routines src/alignment.h:372-412, 558-592,
+# 766-800, 896-922 on tmp.fa-class inputs.
+# ---------------------------------------------------------------------------
+
+PTR_BUDGET_FRAC = 0.45  # share of device memory the pointer tensor may use
+
+
+def _hbm_budget() -> int:
+    """Device memory limit in bytes (ALIGNTOOLS_HBM_BUDGET overrides; the
+    env knob is also how tests exercise the router on CPU)."""
+    import os
+
+    env = os.environ.get("ALIGNTOOLS_HBM_BUDGET")
+    if env:
+        return int(env)
+    try:
+        stats = jax.local_devices()[0].memory_stats() or {}
+        lim = stats.get("bytes_limit")
+        if lim:
+            return int(lim)
+    except Exception:
+        pass
+    return 16 << 30  # v5e HBM; effectively uncapped on CPU hosts
+
+
+def _chunked_rpb(mode: str, use_jump: bool, m_pad: int) -> int:
+    """Pointer packing density for the chunked ptr fills (rows/byte)."""
+    if mode == "fit" and use_jump:
+        return 1  # 6-bit cells: pM spans 5 values + pJ bit
+    if mode == "overlap" and m_pad % 4 == 0:
+        return 4
+    if m_pad % 2 == 0:
+        return 2
+    return 1
+
+
+def _rows_ptr_bytes_pp(mode, b, use_jump, engine) -> float:
+    """Per-pair pointer-tensor bytes (including transient assemble copies)
+    the rows path will materialize for this bucket — mirrors
+    _bucket_rows' routing. Slicing can only shrink it: a sliced batch
+    that drops below the chunked window re-routes to the Pallas ptr
+    kernel, which packs at least as tightly with no assemble copy."""
+    m_pad, n_pad = b.m_pad, b.n_pad
+    jump = mode == "fit" and use_jump
+    route_pallas = engine != "xla" and (
+        engine == "pallas"
+        or _select.use_pallas(len(b.idx), m_pad, n_pad, mode)
+    )
+    if route_pallas and _on_tpu():
+        if jump:
+            rpb = 1
+        elif mode == "overlap" and m_pad % 32 == 0:
+            rpb = 4
+        elif m_pad % 16 == 0:
+            rpb = 2
+        else:
+            rpb = 1
+        return float(m_pad) * n_pad / rpb  # packed in-kernel, no copy
+    if engine == "auto" and _select.use_chunked(len(b.idx), n_pad):
+        rpb = _chunked_rpb(mode, use_jump, m_pad)
+        if rpb > 1:
+            return m_pad * (n_pad + 1) / rpb  # raw block layout, no copy
+        return 2.5 * m_pad * (n_pad + 1)  # byte layout + assemble copy
+    return 2.5 * float(m_pad) * (n_pad + 1)  # unpacked vmap fill
+
+
+def _slice_bucket(b: _Bucket, lo: int, hi: int) -> _Bucket:
+    sub = _Bucket(
+        b.m_pad, b.n_pad, b.idx[lo:hi], b.q[lo:hi], b.t[lo:hi],
+        b.m[lo:hi], b.n[lo:hi],
+    )
+    if b.allowed is not None:
+        sub.allowed = b.allowed[lo:hi]
+    return sub
+
+
+def _auto_stride(m: int, n_pad: int, budget: int) -> int:
+    """Rescan row-block stride: balance checkpoint memory
+    ((m/S) * states * 4 * n) against the live pointer block (S * n),
+    then grow until the checkpoints fit the budget."""
+    import math
+
+    s = max(256, int(math.sqrt(16.0 * max(m, 1))))
+    s = -(-s // 8) * 8
+    while m > s and (m / s) * 16 * (n_pad + 1) > budget * 0.4:
+        s *= 2
+    return s
+
+
+def _rescan_bucket(mode, b, params, use_jump, pairs, sites_list, results,
+                   budget):
+    """Last-resort route: per-pair checkpoint-rescan traceback
+    (engine/rescan.py) — O(m*n/S) memory, any shape."""
+    from aligntools_tpu.engine.rescan import rescan_align
+    from aligntools_tpu.engine.scan import pad_len
+
+    for k in b.idx:
+        q, t = pairs[k]
+        sites = None
+        if use_jump and sites_list is not None:
+            sites = sites_list[k]
+        stride = _auto_stride(len(q), pad_len(max(1, len(t))), budget)
+        results[k] = rescan_align(
+            mode, q, t, params, sites=sites, stride=stride
+        )
+
+
+def _bucket_rows(mode, b, params, use_jump, pairs, results, engine,
+                 counters=None):
+    """Full-alignment path for one bucket (or budget slice): pointer-
+    emitting fill + batched walk, routed per engine/select.py."""
+    route_pallas = engine != "xla" and (
+        engine == "pallas"
+        or _select.use_pallas(len(b.idx), b.m_pad, b.n_pad, mode)
+    )
+    if route_pallas and _on_tpu():
+        _pallas_bucket_full(mode, b, params, use_jump, pairs, results,
+                            counters)
+        return
+    t0 = time.perf_counter()
+    ps = _params_mat(params, b.m)
+    ns = jnp.asarray(b.n)
+    qs, ts = jnp.asarray(b.q), jnp.asarray(b.t)
+    # Full-alignment fills in the chunked engine's regime ride its faster
+    # fill too — the pointer variants return the exact vmapped fill
+    # tuples (bit-identical starts; packed bytes walk identically,
+    # tests/test_chunked.py), so everything downstream is shared.
+    chunked_full = engine == "auto" and _select.use_chunked(
+        len(b.idx), b.n_pad
+    )
+    rpb, blk_chunk = 1, 0
+    if chunked_full:
+        from aligntools_tpu.engine import chunked as ck
+
+        rpb = _chunked_rpb(mode, use_jump, b.m_pad)
+        if rpb > 1:
+            blk_chunk = ck.pick_chunk(b.n_pad, ck.DEFAULT_CHUNK)[1]
+    if mode == "fit":
+        allowed = jnp.asarray(
+            b.allowed
+            if b.allowed is not None
+            else np.ones((len(b.idx), b.n_pad), dtype=bool)
+        )
+        if chunked_full:
+            from aligntools_tpu.engine import chunked as ck
+
+            out = ck.chunked_fit_ptr_fill(
+                use_jump, qs, ts, allowed, ns, ck.DEFAULT_CHUNK, rpb,
+                params=ps,
+            )
+        else:
+            out = _vfill_fit(qs, ts, allowed, b.n_pad, use_jump, True,
+                             ns, ps)
+    elif chunked_full:
+        from aligntools_tpu.engine import chunked as ck
+
+        out = ck.chunked_ptr_fill(
+            mode, qs, ts, ns, ck.DEFAULT_CHUNK, rpb, params=ps
+        )
+    else:
+        out = _vfill(qs, ts, mode, b.n_pad, True, ns, ps)
+    # On TPU, walk tracebacks on the device: pulling the pointer tensor
+    # through the host link costs ~25 s/GB in this environment (0.04 GB/s
+    # measured); the device walk transfers only the rows. The packed
+    # block layout (rpb > 1) is walkable only by the device walker.
+    if _on_tpu() or blk_chunk:
+        from aligntools_tpu.engine import device_tb
+
+        bpairs = [pairs[k] for k in b.idx]
+        if mode == "global":
+            starts = [
+                (int(out[1][r]), b.m[r], b.n[r])
+                for r in range(len(b.idx))
+            ]
+            # engine start codes 0/1/2 = L/M/U match walk states
+        elif mode == "local":
+            starts = [
+                (1, int(out[1][r]), int(out[2][r]))
+                for r in range(len(b.idx))
+            ]
+        elif mode == "fit":
+            starts = [
+                (1 if int(out[1][r]) == 0 else 0, b.m[r], int(out[2][r]))
+                for r in range(len(b.idx))
+            ]
+        else:  # overlap
+            starts = [
+                (0, b.m[r], int(out[1][r])) for r in range(len(b.idx))
+            ]
+        scores = np.asarray(out[0])
+        if mode == "fit" and not np.all(np.isfinite(scores)):
+            raise RuntimeError(
+                "fit: no finite traceback start (reference UB)"
+            )
+        t0 = _tick(counters, "fill_seconds", t0)
+        rows = device_tb.batch_traceback(
+            mode, out[-1], b.q, b.t, bpairs, starts,
+            col_base=1 if blk_chunk else 0, pack4=rpb,
+            blk_chunk=blk_chunk,
+        )
+        for r, k in enumerate(b.idx):
+            results[k] = AlignResult(float(scores[r]), *rows[r])
+        _tick(counters, "walk_seconds", t0)
+        return
+    out = jax.tree.map(np.asarray, out)
+    t0 = _tick(counters, "fill_seconds", t0)
+    for r, k in enumerate(b.idx):
+        q, t = pairs[k]
+        m, n = len(q), len(t)
+        if mode == "global":
+            score, state, ptrs = out[0][r], out[1][r], out[2]
+            r1, r2 = tb.traceback_global(q, t, ptrs[r], int(state), m, n)
+        elif mode == "local":
+            score, imax, jmax, ptrs = (
+                out[0][r], out[1][r], out[2][r], out[3]
+            )
+            r1, r2 = tb.traceback_local(q, t, ptrs[r], int(imax),
+                                        int(jmax))
+        elif mode == "fit":
+            score, state, jmax, ptrs = (
+                out[0][r], out[1][r], out[2][r], out[3]
+            )
+            if not np.isfinite(float(score)):
+                raise RuntimeError(
+                    "fit: no finite traceback start (reference UB)"
+                )
+            r1, r2 = tb.traceback_fit(q, t, ptrs[r], int(state), m,
+                                      int(jmax))
+        else:  # overlap
+            score, jmax, ptrs = out[0][r], out[1][r], out[2]
+            r1, r2 = tb.traceback_overlap(q, t, ptrs[r], m, int(jmax))
+        results[k] = AlignResult(float(score), r1, r2)
+    _tick(counters, "walk_seconds", t0)
 
 
 def align_batch(
@@ -354,10 +691,13 @@ def align_batch(
     sites_list: Sequence[Sequence[int] | None] | None = None,
     traceback: bool = True,
     engine: str = "auto",
+    counters=None,
 ):
     """Align many pairs. Returns a list parallel to ``pairs``:
     AlignResult per pair (int for mode='edit'); with ``traceback=False``,
-    AlignResults carry empty rows (score-only, no pointer tensors)."""
+    AlignResults carry empty rows (score-only, no pointer tensors).
+    ``counters``: optional utils.profiling.Counters accumulating the
+    encode/fill/walk stage decomposition."""
     if mode == "fit":
         for q, t in pairs:
             if len(q) > len(t):
@@ -366,7 +706,9 @@ def align_batch(
         worst = max(len(q) + len(t) for q, t in pairs)
         _scan.check_f32_exact(params, worst, 0, mode)
     use_jump = sites_list is not None
+    t0 = time.perf_counter()
     buckets = _bucketize(pairs, sites_list if use_jump else None)
+    t0 = _tick(counters, "encode_seconds", t0)
     results: list = [None] * len(pairs)
     for b in buckets.values():
         # Large-batch long-target score buckets: the column-chunked XLA
@@ -378,7 +720,9 @@ def align_batch(
             and engine == "auto"
             and _select.use_chunked(len(b.idx), b.n_pad)
         ):
+            tf = time.perf_counter()
             vals = _chunked_bucket_scores(mode, b, params, use_jump)
+            _tick(counters, "fill_seconds", tf)
             for r, k in enumerate(b.idx):
                 results[k] = (
                     int(vals[r]) if mode == "edit"
@@ -390,136 +734,65 @@ def align_batch(
             or _select.use_pallas(len(b.idx), b.m_pad, b.n_pad, mode)
         )
         if not traceback and route_pallas:
+            tf = time.perf_counter()
             vals = _pallas_bucket_scores(mode, b, params, use_jump)
+            _tick(counters, "fill_seconds", tf)
             for r, k in enumerate(b.idx):
                 results[k] = (
                     int(vals[r]) if mode == "edit"
                     else AlignResult(float(vals[r]), b"", b"")
                 )
             continue
-        if (
-            traceback
-            and route_pallas
-            and mode != "edit"
-            and _on_tpu()
-        ):
-            _pallas_bucket_full(mode, b, params, use_jump, pairs, results)
-            continue
-        ps = _params_mat(params, b.m)
-        ns = jnp.asarray(b.n)
-        qs, ts = jnp.asarray(b.q), jnp.asarray(b.t)
-        if mode == "edit":
-            vals = np.asarray(_vfill(qs, ts, mode, b.n_pad, False, ns, ps))
-            for r, k in enumerate(b.idx):
-                results[k] = int(vals[r])
-            continue
-        # Full-alignment fills in the chunked engine's regime ride its
-        # faster fill too — the pointer variants return the exact vmapped
-        # fill tuples (bit-identical bytes/starts, tests/test_chunked.py),
-        # so everything downstream is shared.
-        chunked_full = (
-            traceback
-            and engine == "auto"
-            and mode != "edit"
-            and _select.use_chunked(len(b.idx), b.n_pad)
-        )
-        if mode == "fit":
-            allowed = jnp.asarray(
-                b.allowed
-                if b.allowed is not None
-                else np.ones((len(b.idx), b.n_pad), dtype=bool)
-            )
-            if chunked_full:
-                from aligntools_tpu.engine import chunked as ck
-
-                out = ck.chunked_fit_ptr_fill(
-                    use_jump, qs, ts, allowed, ns, ck.DEFAULT_CHUNK,
-                    params=ps,
+        if mode == "edit" or not traceback:
+            # score-only on the vmapped XLA machines (the CPU/test
+            # engine; on TPU only buckets outside both the chunked and
+            # Pallas windows land here)
+            tf = time.perf_counter()
+            ps = _params_mat(params, b.m)
+            ns = jnp.asarray(b.n)
+            qs, ts = jnp.asarray(b.q), jnp.asarray(b.t)
+            if mode == "fit":
+                allowed = jnp.asarray(
+                    b.allowed
+                    if b.allowed is not None
+                    else np.ones((len(b.idx), b.n_pad), dtype=bool)
+                )
+                out = _vfill_fit(qs, ts, allowed, b.n_pad, use_jump,
+                                 False, ns, ps)
+                vals = np.asarray(out[0])
+            elif mode == "edit":
+                vals = np.asarray(
+                    _vfill(qs, ts, mode, b.n_pad, False, ns, ps)
                 )
             else:
-                out = _vfill_fit(
-                    qs, ts, allowed, b.n_pad, use_jump, traceback, ns, ps
-                )
-        elif chunked_full:
-            from aligntools_tpu.engine import chunked as ck
-
-            out = ck.chunked_ptr_fill(
-                mode, qs, ts, ns, ck.DEFAULT_CHUNK, params=ps
-            )
-        else:
-            out = _vfill(qs, ts, mode, b.n_pad, traceback, ns, ps)
-        # On TPU, walk tracebacks on the device: pulling the pointer
-        # tensor through the host link costs ~25 s/GB in this environment
-        # (0.04 GB/s measured); the device walk transfers only the rows.
-        use_device_tb = traceback and _on_tpu()
-        if use_device_tb and mode in ("global", "local", "fit", "overlap"):
-            from aligntools_tpu.engine import device_tb
-
-            bpairs = [pairs[k] for k in b.idx]
-            if mode == "global":
-                starts = [
-                    (int(out[1][r]), b.m[r], b.n[r])
-                    for r in range(len(b.idx))
-                ]
-                # engine start codes 0/1/2 = L/M/U match walk states
-            elif mode == "local":
-                starts = [
-                    (1, int(out[1][r]), int(out[2][r]))
-                    for r in range(len(b.idx))
-                ]
-            elif mode == "fit":
-                starts = [
-                    (1 if int(out[1][r]) == 0 else 0, b.m[r], int(out[2][r]))
-                    for r in range(len(b.idx))
-                ]
-            else:  # overlap
-                starts = [
-                    (0, b.m[r], int(out[1][r])) for r in range(len(b.idx))
-                ]
-            scores = np.asarray(out[0])
-            if mode == "fit" and not np.all(np.isfinite(scores)):
-                raise RuntimeError(
-                    "fit: no finite traceback start (reference UB)"
-                )
-            rows = device_tb.batch_traceback(
-                mode, out[-1], b.q, b.t, bpairs, starts
-            )
+                out = _vfill(qs, ts, mode, b.n_pad, False, ns, ps)
+                vals = np.asarray(out[0])
+            _tick(counters, "fill_seconds", tf)
             for r, k in enumerate(b.idx):
-                results[k] = AlignResult(float(scores[r]), *rows[r])
+                results[k] = (
+                    int(vals[r]) if mode == "edit"
+                    else AlignResult(float(vals[r]), b"", b"")
+                )
             continue
-        out = jax.tree.map(np.asarray, out)
-        for r, k in enumerate(b.idx):
-            q, t = pairs[k]
-            m, n = len(q), len(t)
-            if mode == "global":
-                score, state, ptrs = out[0][r], out[1][r], out[2]
-                if traceback:
-                    r1, r2 = tb.traceback_global(q, t, ptrs[r], int(state), m, n)
-                else:
-                    r1 = r2 = b""
-            elif mode == "local":
-                score, imax, jmax, ptrs = out[0][r], out[1][r], out[2][r], out[3]
-                if traceback:
-                    r1, r2 = tb.traceback_local(q, t, ptrs[r], int(imax), int(jmax))
-                else:
-                    r1 = r2 = b""
-            elif mode == "fit":
-                score, state, jmax, ptrs = out[0][r], out[1][r], out[2][r], out[3]
-                if traceback:
-                    if not np.isfinite(float(score)):
-                        raise RuntimeError(
-                            "fit: no finite traceback start (reference UB)"
-                        )
-                    r1, r2 = tb.traceback_fit(q, t, ptrs[r], int(state), m, int(jmax))
-                else:
-                    r1 = r2 = b""
-            else:  # overlap
-                score, jmax, ptrs = out[0][r], out[1][r], out[2]
-                if traceback:
-                    r1, r2 = tb.traceback_overlap(q, t, ptrs[r], m, int(jmax))
-                else:
-                    r1 = r2 = b""
-            results[k] = AlignResult(float(score), r1, r2)
+        # rows path: HBM budget router (see the block comment above)
+        budget = int(_hbm_budget() * PTR_BUDGET_FRAC)
+        bytes_pp = _rows_ptr_bytes_pp(mode, b, use_jump, engine)
+        cap = int(budget // bytes_pp)
+        if cap == 0:
+            _rescan_bucket(mode, b, params, use_jump, pairs, sites_list,
+                           results, budget)
+            continue
+        if len(b.idx) > cap:
+            # equal-size slices (2 compiled batch shapes at most)
+            nsl = -(-len(b.idx) // cap)
+            step = -(-len(b.idx) // nsl)
+            for lo in range(0, len(b.idx), step):
+                _bucket_rows(mode, _slice_bucket(b, lo, lo + step),
+                             params, use_jump, pairs, results, engine,
+                             counters)
+        else:
+            _bucket_rows(mode, b, params, use_jump, pairs, results,
+                         engine, counters)
     return results
 
 
@@ -529,10 +802,12 @@ def batch_scores(
     params: AlignParams = AlignParams(),
     sites_list=None,
     engine: str = "auto",
+    counters=None,
 ) -> np.ndarray:
     """Score-only fast path; returns float64 scores (int values for edit)."""
     res = align_batch(
-        mode, pairs, params, sites_list, traceback=False, engine=engine
+        mode, pairs, params, sites_list, traceback=False, engine=engine,
+        counters=counters
     )
     if mode == "edit":
         return np.asarray(res, dtype=np.int64)

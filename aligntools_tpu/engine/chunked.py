@@ -564,15 +564,63 @@ def _shift_cols(row, edge_col):
     return jnp.concatenate([edge_col[:, None], row[:, :-1]], axis=1)
 
 
-def _m_codes(prevs, codes):
+def _m_codes(prevs, codes, unset=None):
     """Batched _m_candidates (scan.py): earliest-argument argmax codes.
     ``prevs``: list of (B, chunk) diagonal predecessor values in max5
-    argument order. Returns (best, 3-bit code with UNSET on -inf)."""
+    argument order. Returns (best, code with ``unset`` on -inf)."""
+    if unset is None:
+        unset = PK_M_UNSET
     vals = jnp.stack(prevs)
     best = vals.max(axis=0)
     code = jnp.asarray(codes, jnp.uint8)[jnp.argmax(vals, axis=0)]
-    code = jnp.where(best > NEG, code, jnp.uint8(PK_M_UNSET))
+    code = jnp.where(best > NEG, code, jnp.uint8(unset))
     return best, code
+
+
+def _ptr_fields(mode, rpb):
+    """Pointer-byte field layout for a chunk-ptr row step.
+
+    rpb == 1: the engine/scan.py packed-byte layout (3-bit pM at bits
+    0-2, pL/pU/pJ flags at bits 3/4/5). rpb == 2: the nibble layout of
+    ops/pallas_ptr.py — pM is 2 bits because code 3 doubles as the
+    mode's fourth value (HOME for local, UNSET for global/fit-nojump),
+    pL/pU at bits 2/3, no jump state; engine/device_tb decodes both."""
+    if rpb == 2:
+        return dict(LOW=0, MID=1, UPP=2, HOME=3, UNSET=3,
+                    LBIT=1 << 2, UBIT=1 << 3)
+    return dict(LOW=PK_M_LOW, MID=PK_M_MID, UPP=PK_M_UPP, HOME=PK_M_HOME,
+                UNSET=PK_M_UNSET, LBIT=PK_L_IS_MID, UBIT=PK_U_IS_UPP)
+
+
+def _scan_rows_packed(row_fn, carry, xs, G, unroll):
+    """Scan the per-row step in groups of ``G`` rows, OR-combining each
+    row's final ys leaf (its code plane, shifted by in-group row index *
+    (8 // G) bits) into ONE packed byte plane per step — so the scan's ys
+    buffer IS the packed pointer tensor and the unpacked bytes never
+    materialize in HBM. Other ys leaves (the per-row chunk-edge values)
+    are stacked per group and reshaped back to per-row after the scan.
+    G == 1 falls through to a plain scan (byte layout)."""
+    if G == 1:
+        return jax.lax.scan(row_fn, carry, xs, unroll=unroll)
+    bits = 8 // G
+    xs_g = jax.tree.map(
+        lambda a: a.reshape((a.shape[0] // G, G) + a.shape[1:]), xs
+    )
+
+    def step(c, xg):
+        edges, plane = [], None
+        for g in range(G):
+            c, y = row_fn(c, jax.tree.map(lambda a: a[g], xg))
+            code = y[-1]
+            plane = code if g == 0 else plane | (code << (bits * g))
+            edges.append(y[:-1])
+        ys = tuple(jnp.stack(parts) for parts in zip(*edges)) + (plane,)
+        return c, ys
+
+    carry, ys = jax.lax.scan(step, carry, xs_g,
+                             unroll=max(1, unroll // G))
+    flat = tuple(a.reshape((-1,) + a.shape[2:]) for a in ys[:-1])
+    return carry, flat + (ys[-1],)
 
 
 def _lexi_update(best, imax, jmax, rb, ri, rj):
@@ -591,9 +639,13 @@ def _lexi_update(best, imax, jmax, rb, ri, rj):
     )
 
 
-def _affine_chunk_ptr(mode, q, t_blk, gj, m_col, n_col, params, carry):
+def _affine_chunk_ptr(mode, q, t_blk, gj, m_col, n_col, params, carry,
+                      rpb=1):
     """Pointer-emitting global/local chunk (score logic mirrors
-    _affine_chunk; state rows carried separately for the tie codes)."""
+    _affine_chunk; state rows carried separately for the tie codes).
+    ``rpb``: DP rows per emitted pointer byte (1 = byte layout, 2 =
+    nibble; see _ptr_fields)."""
+    pk = _ptr_fields(mode, rpb)
     match, mis, o, e = params
     B, m_pad = q.shape
     chunk = t_blk.shape[1]
@@ -632,7 +684,8 @@ def _affine_chunk_ptr(mode, q, t_blk, gj, m_col, n_col, params, carry):
         if mode == "global":
             # arg order L, M, U (alignment.h:451)
             best_d, pm = _m_codes([dl, dm, du],
-                                  (PK_M_LOW, PK_M_MID, PK_M_UPP))
+                                  (pk["LOW"], pk["MID"], pk["UPP"]),
+                                  unset=pk["UNSET"])
             m_row = best_d + sub
         else:
             # arg order L+s, M+s, U+s, 0 (HOME) — alignment.h:825
@@ -641,19 +694,19 @@ def _affine_chunk_ptr(mode, q, t_blk, gj, m_col, n_col, params, carry):
             )
             m_row = vals.max(axis=0)
             pm = jnp.asarray(
-                (PK_M_LOW, PK_M_MID, PK_M_UPP, PK_M_HOME), jnp.uint8
+                (pk["LOW"], pk["MID"], pk["UPP"], pk["HOME"]), jnp.uint8
             )[jnp.argmax(vals, axis=0)]
         a = lp + e
         bb = mp + o
         l_row = jnp.maximum(a, bb)
-        plbit = jnp.where(a >= bb, jnp.uint8(0), jnp.uint8(PK_L_IS_MID))
+        plbit = jnp.where(a >= bb, jnp.uint8(0), jnp.uint8(pk["LBIT"]))
         shifted_m = _shift_cols(m_row, medge)
         cand = shifted_m + (o - e * jloc[None, :])
         v = jnp.maximum(jax.lax.cummax(cand, axis=1), uedge[:, None])
         u_row = v + e * jloc[None, :]
         a2 = shifted_m + o
         b2 = _shift_cols(u_row, uedge) + e
-        pubit = jnp.where(a2 >= b2, jnp.uint8(0), jnp.uint8(PK_U_IS_UPP))
+        pubit = jnp.where(a2 >= b2, jnp.uint8(0), jnp.uint8(pk["UBIT"]))
         packed = pm | plbit | pubit
         i = iarr[:, None]
         if mode == "global":
@@ -679,16 +732,17 @@ def _affine_chunk_ptr(mode, q, t_blk, gj, m_col, n_col, params, carry):
     )
     xs = _row_xs(q.astype(jnp.float32), diag_l, diag_m, diag_u, edge_m,
                  edge_u, iarr)
-    (mr, lr, ur, acc), ys = jax.lax.scan(
-        row, (m_init, l_init, u_init, acc), xs, unroll=_unroll()
+    (mr, lr, ur, acc), ys = _scan_rows_packed(
+        row, (m_init, l_init, u_init, acc), xs, rpb, _unroll()
     )
     em, el, eu, packed = ys[0].T, ys[1].T, ys[2].T, ys[3]
-    return (el, em, eu, acc), packed  # packed: (m_pad, B, chunk)
+    return (el, em, eu, acc), packed  # packed: (m_pad/rpb, B, chunk)
 
 
-def _overlap_chunk_ptr(q, t_blk, gj, m_col, n_col, params, carry):
+def _overlap_chunk_ptr(q, t_blk, gj, m_col, n_col, params, carry, rpb=1):
     """Pointer-emitting overlap chunk (codes: LEFT, DIAGONAL, RIGHT
-    argument order, alignment.h:944; UNSET on -inf)."""
+    argument order, alignment.h:944; UNSET on -inf). Codes are 2 bits,
+    so ``rpb`` may be 1, 2, or 4 (row rpb*k in the low bits)."""
     match, mis, o = params
     B, m_pad = q.shape
     chunk = t_blk.shape[1]
@@ -732,14 +786,19 @@ def _overlap_chunk_ptr(q, t_blk, gj, m_col, n_col, params, carry):
         jnp.arange(1, m_pad + 1, dtype=jnp.int32)[None, :], (B, m_pad)
     )
     xs = _row_xs(q.astype(jnp.float32), diag_edge, edge_m, iarr)
-    (mr, acc), ys = jax.lax.scan(row, (m_init, acc), xs, unroll=_unroll())
+    (mr, acc), ys = _scan_rows_packed(row, (m_init, acc), xs, rpb,
+                                      _unroll())
     return (ys[0].T, acc), ys[1]
 
 
 def _fit_chunk_ptr(use_jump, q, t_blk, allow_blk, gj, m_col, n_col, params,
-                   carry):
+                   carry, rpb=1):
     """Pointer-emitting fit chunk (M arg order L,M,U[,J]; J entry gating
-    with the inverted enum-bool semantics; alignment.h:596-694)."""
+    with the inverted enum-bool semantics; alignment.h:596-694).
+    ``rpb`` == 2 (nibble) only without the jump state — pM spans 5
+    values with J and pJ needs its own bit (ops/pallas_ptr.py)."""
+    assert rpb == 1 or not use_jump
+    pk = _ptr_fields("fit", rpb)
     match, mis, o, e, jp = params
     B, m_pad = q.shape
     chunk = t_blk.shape[1]
@@ -771,19 +830,20 @@ def _fit_chunk_ptr(use_jump, q, t_blk, allow_blk, gj, m_col, n_col, params,
             )
         else:  # arg order L, M, U (alignment.h:641)
             best_d, pm = _m_codes([dl, dm, du],
-                                  (PK_M_LOW, PK_M_MID, PK_M_UPP))
+                                  (pk["LOW"], pk["MID"], pk["UPP"]),
+                                  unset=pk["UNSET"])
         m_row = best_d + sub
         a = lp + e
         bb = mp + o
         l_row = jnp.maximum(a, bb)
-        plbit = jnp.where(a >= bb, jnp.uint8(0), jnp.uint8(PK_L_IS_MID))
+        plbit = jnp.where(a >= bb, jnp.uint8(0), jnp.uint8(pk["LBIT"]))
         shifted_m = _shift_cols(m_row, medge)
         cand = shifted_m + (o - e * jloc[None, :])
         v = jnp.maximum(jax.lax.cummax(cand, axis=1), uedge[:, None])
         u_row = v + e * jloc[None, :]
         a2 = shifted_m + o
         b2 = _shift_cols(u_row, uedge) + e
-        pubit = jnp.where(a2 >= b2, jnp.uint8(0), jnp.uint8(PK_U_IS_UPP))
+        pubit = jnp.where(a2 >= b2, jnp.uint8(0), jnp.uint8(pk["UBIT"]))
         if use_jump:
             jc = jnp.where(allow_blk, shifted_m + jp, NEG)
             j_row = jnp.maximum(jax.lax.cummax(jc, axis=1),
@@ -819,9 +879,9 @@ def _fit_chunk_ptr(use_jump, q, t_blk, allow_blk, gj, m_col, n_col, params,
     )
     xs = _row_xs(q.astype(jnp.float32), diag_l, diag_m, diag_u, diag_j,
                  edge_m, edge_u, edge_j, iarr)
-    (mr, lr, ur, jr, accM, accL), ys = jax.lax.scan(
-        row, (m_init, l_init, u_init, j_init, accM, accL), xs,
-        unroll=_unroll(),
+    (mr, lr, ur, jr, accM, accL), ys = _scan_rows_packed(
+        row, (m_init, l_init, u_init, j_init, accM, accL), xs, rpb,
+        _unroll(),
     )
     em, el, eu, ej = ys[0].T, ys[1].T, ys[2].T, ys[3].T
     return (el, em, eu, ej, accM, accL), ys[4]
@@ -837,16 +897,29 @@ def _assemble_ptrs(packed_blocks, B, m_pad, n_pad):
     return jnp.concatenate([z, p], axis=2)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 4))
-def chunked_ptr_fill(mode, qs, ts, ns, n_chunk=DEFAULT_CHUNK, params=None):
+@functools.partial(jax.jit, static_argnums=(0, 4, 5))
+def chunked_ptr_fill(mode, qs, ts, ns, n_chunk=DEFAULT_CHUNK,
+                     rows_per_byte=1, params=None):
     """Pointer-emitting batched fill; returns the vmapped engine/scan.py
     fill tuple per mode (so batch.py's traceback plumbing is unchanged):
       global:  (score, start_state 0/1/2=L/M/U, ptrs [B, m_pad, n_pad+1])
       local:   (score, i_max, j_max, ptrs)
       overlap: (score, j_max, ptrs)
+
+    ``rows_per_byte`` > 1 packs 2 (nibble; global/local) or 4 (2-bit;
+    overlap) DP rows per pointer byte INSIDE the row scan and returns the
+    raw packed block tensor (nblk, m_pad/rpb, B, chunk) — columns 1..n
+    only, NO assembling transpose — so peak HBM is exactly the packed
+    bytes. engine/device_tb walks that layout directly (blk_chunk=chunk,
+    col_base=1). m_pad must be a multiple of rows_per_byte.
     """
     B, m_pad = qs.shape
     n_pad = ts.shape[1]
+    rpb = rows_per_byte
+    if m_pad % rpb:
+        raise ValueError(f"m_pad {m_pad} not a multiple of rpb {rpb}")
+    if rpb == 4 and mode != "overlap":
+        raise ValueError("rows_per_byte=4 is overlap-only (2-bit codes)")
     nblk, chunk = pick_chunk(n_pad, n_chunk)
     ts = _pad_cols(ts, nblk * chunk, -2)
     match, mis = params[0, 0], params[0, 1]
@@ -883,11 +956,12 @@ def chunked_ptr_fill(mode, qs, ts, ns, n_chunk=DEFAULT_CHUNK, params=None):
             t_blk, off = xs
             gj = off + jnp.arange(1, chunk + 1, dtype=jnp.int32)
             return _affine_chunk_ptr(mode, qs, t_blk, gj, m_col, n_col, p,
-                                     carry)
+                                     carry, rpb=rpb)
 
         carry, packed = jax.lax.scan(blk, (el, em, eu, acc0),
                                      (t_blks, offs))
-        ptrs = _assemble_ptrs(packed, B, m_pad, n_pad)
+        ptrs = packed if rpb > 1 else _assemble_ptrs(packed, B, m_pad,
+                                                     n_pad)
         if mode == "global":
             fin = carry[3]
             # final tie order L, M, U (alignment.h:466-469)
@@ -907,23 +981,29 @@ def chunked_ptr_fill(mode, qs, ts, ns, n_chunk=DEFAULT_CHUNK, params=None):
             t_blk, off = xs
             gj = off + jnp.arange(1, chunk + 1, dtype=jnp.int32)
             return _overlap_chunk_ptr(qs, t_blk, gj, m_col, n_col, p,
-                                      carry)
+                                      carry, rpb=rpb)
 
         carry, packed = jax.lax.scan(blk, (em, acc0), (t_blks, offs))
-        ptrs = _assemble_ptrs(packed, B, m_pad, n_pad)
+        ptrs = packed if rpb > 1 else _assemble_ptrs(packed, B, m_pad,
+                                                     n_pad)
         best, jmax = carry[1]
         return best, jmax, ptrs
 
     raise ValueError(mode)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 5))
+@functools.partial(jax.jit, static_argnums=(0, 5, 6))
 def chunked_fit_ptr_fill(use_jump, qs, ts, allow, ns, n_chunk=DEFAULT_CHUNK,
-                         params=None):
+                         rows_per_byte=1, params=None):
     """Fit-mode pointer fill; returns (score, start_state 0=MID/1=LOW,
-    j_max, ptrs) like engine/scan.fit_fill."""
+    j_max, ptrs) like engine/scan.fit_fill. ``rows_per_byte`` == 2
+    (nibble, no-jump only) returns raw packed blocks as chunked_ptr_fill
+    does."""
     B, m_pad = qs.shape
     n_pad = ts.shape[1]
+    rpb = rows_per_byte
+    if rpb > 1 and (use_jump or rpb != 2 or m_pad % 2):
+        raise ValueError("fit packs nibbles only without -s jump state")
     nblk, chunk = pick_chunk(n_pad, n_chunk)
     ts = _pad_cols(ts, nblk * chunk, -2)
     allow = _pad_cols(allow.astype(jnp.bool_), nblk * chunk, False)
@@ -944,12 +1024,12 @@ def chunked_fit_ptr_fill(use_jump, qs, ts, allow, ns, n_chunk=DEFAULT_CHUNK,
         t_blk, a_blk, off = xs
         gj = off + jnp.arange(1, chunk + 1, dtype=jnp.int32)
         return _fit_chunk_ptr(use_jump, qs, t_blk, a_blk, gj, m_col,
-                              n_col, p, carry)
+                              n_col, p, carry, rpb=rpb)
 
     carry, packed = jax.lax.scan(
         blk, (neg, neg, neg, neg, acc0M, acc0L), (t_blks, a_blks, offs)
     )
-    ptrs = _assemble_ptrs(packed, B, m_pad, n_pad)
+    ptrs = packed if rpb > 1 else _assemble_ptrs(packed, B, m_pad, n_pad)
     (mb, mj), (lb, lj) = carry[4], carry[5]
     use_l = lb > mb  # M beats L on ties (alignment.h:676-690)
     score = jnp.where(use_l, lb, mb)

@@ -38,12 +38,22 @@ _DONE, _ERR = 4, 5
 _GAP = np.uint8(ord("-"))
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4))
+def _gather_byte(ptrs, blk_chunk, bidx, row, jc):
+    """One pointer byte per pair: ``ptrs`` is (B, R, C) when blk_chunk ==
+    0, else the chunked engine's raw packed block layout (nblk, R, B,
+    chunk) — global packed column jc decomposes into (block, lane)."""
+    if blk_chunk:
+        return ptrs[jc // blk_chunk, row, bidx, jc % blk_chunk]
+    return ptrs[bidx, row, jc]
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5))
 def _walk_affine(stop_at_j0, n_steps, col_base, pack4, code3_home,
-                 ptrs, qs, ts, state0, i0, j0):
+                 blk_chunk, ptrs, qs, ts, state0, i0, j0):
     """Batched walk for global/local/fit.
 
-    ptrs (B, R, C) uint8; qs (B, m_pad) i32; ts (B, n_pad) i32;
+    ptrs (B, R, C) uint8 (or (nblk, R, B, chunk) when ``blk_chunk`` > 0;
+    see _gather_byte); qs (B, m_pad) i32; ts (B, n_pad) i32;
     state0/i0/j0 (B,) i32. stop_at_j0: True for global/local (while i>0 and
     j>0), False for fit (while i>0). ``pack4``: nibble layout
     (rows_per_byte=2) — two DP rows per byte, pM 2 bits with code 3
@@ -52,7 +62,7 @@ def _walk_affine(stop_at_j0, n_steps, col_base, pack4, code3_home,
     Returns stacked (n_steps, B) char columns (walk order), per-pair
     emitted length, final (i, j), err flag.
     """
-    B = ptrs.shape[0]
+    B = qs.shape[0]
     bidx = jnp.arange(B)
 
     def step(carry, _):
@@ -61,8 +71,9 @@ def _walk_affine(stop_at_j0, n_steps, col_base, pack4, code3_home,
         if stop_at_j0:
             active = active & (j > 0)
         row = jnp.maximum(i - 1, 0)
+        jc = jnp.maximum(j - col_base, 0)
         if pack4:
-            byte = ptrs[bidx, row >> 1, jnp.maximum(j - col_base, 0)]
+            byte = _gather_byte(ptrs, blk_chunk, bidx, row >> 1, jc)
             byte = byte.astype(jnp.int32)
             byte = jnp.where(row & 1, byte >> 4, byte) & 0xF
             code = byte & 0x3
@@ -70,7 +81,7 @@ def _walk_affine(stop_at_j0, n_steps, col_base, pack4, code3_home,
             nxt_mid = jnp.where(code == 3, code3, code)
             l_is_mid, u_is_upp = byte & 0x4, byte & 0x8
         else:
-            byte = ptrs[bidx, row, jnp.maximum(j - col_base, 0)]
+            byte = _gather_byte(ptrs, blk_chunk, bidx, row, jc)
             byte = byte.astype(jnp.int32)
             code = byte & 0x7
             # next-state decode per current state
@@ -124,16 +135,17 @@ def _walk_affine(stop_at_j0, n_steps, col_base, pack4, code3_home,
     return cols1, cols2, count, fi, fj, fstate, err
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
-def _walk_overlap(n_steps, col_base, pause_at_i0, rpb, ptrs, qs, ts,
-                  i0, j0):
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4))
+def _walk_overlap(n_steps, col_base, pause_at_i0, rpb, blk_chunk, ptrs,
+                  qs, ts, i0, j0):
     """Batched overlap walk (while j>0; 2-bit codes move directly).
 
     ``pause_at_i0``: True for the block-resumable rescan walk — at i == 0
     the walk simply stops emitting (the caller resumes in the row block
     above) instead of flagging the reference's i<=0 UB as an error.
-    ``rpb``: DP rows per byte (1, 2, or 4; row rpb*k in the low bits)."""
-    B = ptrs.shape[0]
+    ``rpb``: DP rows per byte (1, 2, or 4; row rpb*k in the low bits).
+    ``blk_chunk``: chunked-engine raw block layout (_gather_byte)."""
+    B = qs.shape[0]
     bidx = jnp.arange(B)
     bits = 8 // rpb
 
@@ -143,11 +155,12 @@ def _walk_overlap(n_steps, col_base, pause_at_i0, rpb, ptrs, qs, ts,
         if pause_at_i0:
             active = active & (i > 0)
         row = jnp.maximum(i - 1, 0)
+        jc = jnp.maximum(j - col_base, 0)
         if rpb > 1:
-            byte = ptrs[bidx, row // rpb, jnp.maximum(j - col_base, 0)]
+            byte = _gather_byte(ptrs, blk_chunk, bidx, row // rpb, jc)
             byte = byte.astype(jnp.int32) >> ((row % rpb) * bits)
         else:
-            byte = ptrs[bidx, row, jnp.maximum(j - col_base, 0)]
+            byte = _gather_byte(ptrs, blk_chunk, bidx, row, jc)
         code = (byte & 0x3).astype(jnp.int32)
         bad = active & ((code == 3) | (i <= 0))
         takes_q = code != 0  # DIAG/RIGHT consume query
@@ -174,7 +187,7 @@ def _walk_overlap(n_steps, col_base, pause_at_i0, rpb, ptrs, qs, ts,
 
 
 def batch_traceback(mode, ptrs_dev, qs_np, ts_np, pairs, starts,
-                    col_base=0, pack4=False):
+                    col_base=0, pack4=False, blk_chunk=0):
     """Walk a whole bucket on-device; assemble final rows on the host.
 
     ``ptrs_dev``: device (B, R, C) uint8 pointer tensor (stays on device);
@@ -185,8 +198,10 @@ def batch_traceback(mode, ptrs_dev, qs_np, ts_np, pairs, starts,
     (XLA engine), 1 when it starts at column 1 (Pallas ptr kernel).
     ``pack4``: packed pointer tensor — truthy means rows_per_byte=2
     (nibble layout); the int 4 selects the 2-bit overlap layout
-    (rows_per_byte=4; pallas_ptr.py docstring). Returns [(row1, row2)]
-    per pair.
+    (rows_per_byte=4; pallas_ptr.py docstring). ``blk_chunk`` > 0: the
+    chunked engine's raw packed block layout (nblk, R, B, chunk), walked
+    without ever assembling it (pass col_base=1 — the blocks hold
+    columns 1..nblk*chunk). Returns [(row1, row2)] per pair.
     """
     # pack4 accepts the legacy bool (True = nibble) or rows_per_byte ints
     if pack4 is True:
@@ -196,7 +211,7 @@ def batch_traceback(mode, ptrs_dev, qs_np, ts_np, pairs, starts,
     else:
         rpb = int(pack4)
         assert rpb in (1, 2, 4)
-    B = ptrs_dev.shape[0]
+    B = qs_np.shape[0]
     n_steps = int(qs_np.shape[1] + ts_np.shape[1] + 1)
     qs_d = jnp.asarray(qs_np)
     ts_d = jnp.asarray(ts_np)
@@ -204,7 +219,8 @@ def batch_traceback(mode, ptrs_dev, qs_np, ts_np, pairs, starts,
         i0 = jnp.asarray([s[1] for s in starts], jnp.int32)
         j0 = jnp.asarray([s[2] for s in starts], jnp.int32)
         cols1, cols2, count, _, _, _, err = _walk_overlap(
-            n_steps, col_base, False, rpb, ptrs_dev, qs_d, ts_d, i0, j0
+            n_steps, col_base, False, rpb, blk_chunk, ptrs_dev, qs_d,
+            ts_d, i0, j0
         )
         fi = fj = None
     else:
@@ -213,7 +229,7 @@ def batch_traceback(mode, ptrs_dev, qs_np, ts_np, pairs, starts,
         j0 = jnp.asarray([s[2] for s in starts], jnp.int32)
         cols1, cols2, count, fi, fj, _, err = _walk_affine(
             mode != "fit", n_steps, col_base, rpb == 2, mode == "local",
-            ptrs_dev, qs_d, ts_d, state0, i0, j0,
+            blk_chunk, ptrs_dev, qs_d, ts_d, state0, i0, j0,
         )
     # pack device-side so the tunnel sees ONE bulk transfer for the char
     # planes and one small one for the scalars (each np.asarray round-trip

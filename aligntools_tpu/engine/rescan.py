@@ -185,15 +185,15 @@ def rescan_align(mode, q: bytes, t: bytes, p, sites=None, stride: int = 256):
         while True:
             if mode == "overlap":
                 c1, c2, cnt, fi, fj, done, werr = device_tb._walk_overlap(
-                    CH, 0, True, 1, ptrs, qs_blk, ta_np,
+                    CH, 0, True, 1, 0, ptrs, qs_blk, ta_np,
                     jnp.asarray([i_rel], jnp.int32),
                     jnp.asarray([j], jnp.int32),
                 )
                 fstate, done = None, done
             else:
                 c1, c2, cnt, fi, fj, fstate, werr = device_tb._walk_affine(
-                    stop_j0, CH, 0, False, mode == "local", ptrs, qs_blk,
-                    ta_np,
+                    stop_j0, CH, 0, False, mode == "local", 0, ptrs,
+                    qs_blk, ta_np,
                     jnp.asarray([state], jnp.int32),
                     jnp.asarray([i_rel], jnp.int32),
                     jnp.asarray([j], jnp.int32),

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import os
 import sys
+import time as _time
 
 from aligntools_tpu.io.fasta import parse_junctions, read_records
 from aligntools_tpu.params import AlignParams
@@ -106,90 +107,99 @@ def run_pipeline(
         rec_pairs[i : i + chunk_size]
         for i in range(0, len(rec_pairs), chunk_size)
     ]
-    with device_trace(trace_dir):
-        for ci, chunk in enumerate(chunks):
-            if manifest and manifest.is_done(ci):
-                continue
-            pairs = [(a.seq, b.seq) for a, b in chunk]
-            sites_list = None
-            if use_sites:
-                sites_list = [
-                    parse_junctions(b.comment) if b.comment else []
-                    for _, b in chunk
-                ]
-            lines = []
-            with stopwatch(counters, "seconds"):
-                if sharded:
-                    from aligntools_tpu.parallel.mesh import (
-                        batch_scores_sharded,
-                    )
 
-                    vals = batch_scores_sharded(mode, pairs, params)
-                    results = list(vals)
-                elif band is not None:
-                    if scores_only or mode == "edit":
-                        from aligntools_tpu.engine.banded import (
-                            banded_batch_scores,
-                        )
+    def compute(chunk):
+        """Align one chunk (runs on the prefetch worker: the NEXT chunk's
+        encode + device fill overlaps the main thread's formatting and
+        writing of the previous chunk's results)."""
+        pairs = [(a.seq, b.seq) for a, b in chunk]
+        sites_list = None
+        if use_sites:
+            sites_list = [
+                parse_junctions(b.comment) if b.comment else []
+                for _, b in chunk
+            ]
+        if sharded:
+            from aligntools_tpu.parallel.mesh import batch_scores_sharded
 
-                        results = list(
-                            banded_batch_scores(mode, pairs, band, params)[0]
-                        )
-                    else:  # banded full rows (all modes with a traceback)
-                        from aligntools_tpu.engine.banded import (
-                            banded_align_batch,
-                        )
+            return pairs, list(batch_scores_sharded(mode, pairs, params))
+        if band is not None:
+            if scores_only or mode == "edit":
+                from aligntools_tpu.engine.banded import banded_batch_scores
 
-                        results = banded_align_batch(
-                            mode, pairs, band, params
-                        )[0]
-                elif mode == "edit" or scores_only:
-                    results = list(
-                        batch_scores(
-                            mode, pairs, params, sites_list, engine=engine
-                        )
-                    )
-                else:
-                    results = align_batch(
-                        mode, pairs, params, sites_list, traceback=True
-                    )
-            for k, ((a, b), r) in enumerate(zip(chunk, results)):
-                name1 = a.name.decode("latin-1")
-                name2 = b.name.decode("latin-1")
-                if mode == "edit":
-                    lines.append(f"{name1}\t{name2}\t{int(r)}")
-                elif scores_only or sharded:
-                    score = r if isinstance(r, float) else float(r)
-                    lines.append(f"{name1}\t{name2}\t{score:.6f}")
-                elif cigar:
-                    from aligntools_tpu.utils.cigar import rows_to_cigar
-
-                    lines.append(
-                        f"{name1}\t{name2}\t{r.score:.6f}\t"
-                        f"{rows_to_cigar(r.row1, r.row2)}"
-                    )
-                else:
-                    lines.append(
-                        f"{name1}\t{name2}\t{r.score:.6f}\t"
-                        f"{r.row1.decode('latin-1')}\t"
-                        f"{r.row2.decode('latin-1')}"
-                    )
-                counters.pairs += 1
-                counters.cells += len(pairs[k][0]) * len(pairs[k][1])
-            if band is None:  # banded work is O(m*W), not bucket-padded
-                from aligntools_tpu.batch import _bucket_keys
-
-                counters.padded_cells += sum(
-                    mp * np_ for mp, np_ in _bucket_keys(pairs, 64, 128)
+                return pairs, list(
+                    banded_batch_scores(mode, pairs, band, params)[0]
                 )
-            text = "\n".join(lines) + "\n"
-            out.write(text.encode("latin-1") if own_out else text)
-            if hasattr(out, "flush"):
-                out.flush()
-            if own_out:
-                os.fsync(out.fileno())  # durable before the manifest says done
-            if manifest:
-                manifest.mark_done(ci, out.tell() if own_out else None)
+            from aligntools_tpu.engine.banded import banded_align_batch
+
+            return pairs, banded_align_batch(mode, pairs, band, params)[0]
+        if mode == "edit" or scores_only:
+            return pairs, list(
+                batch_scores(mode, pairs, params, sites_list,
+                             engine=engine, counters=counters)
+            )
+        return pairs, align_batch(
+            mode, pairs, params, sites_list, traceback=True,
+            counters=counters,
+        )
+
+    pending = [
+        (ci, chunk)
+        for ci, chunk in enumerate(chunks)
+        if not (manifest and manifest.is_done(ci))
+    ]
+    from concurrent.futures import ThreadPoolExecutor
+
+    pool = ThreadPoolExecutor(1)
+    try:
+        with device_trace(trace_dir), stopwatch(counters, "seconds"):
+            fut = pool.submit(compute, pending[0][1]) if pending else None
+            for pi, (ci, chunk) in enumerate(pending):
+                pairs, results = fut.result()
+                if pi + 1 < len(pending):
+                    fut = pool.submit(compute, pending[pi + 1][1])
+                tfmt = _time.perf_counter()
+                lines = []
+                for k, ((a, b), r) in enumerate(zip(chunk, results)):
+                    name1 = a.name.decode("latin-1")
+                    name2 = b.name.decode("latin-1")
+                    if mode == "edit":
+                        lines.append(f"{name1}\t{name2}\t{int(r)}")
+                    elif scores_only or sharded:
+                        score = r if isinstance(r, float) else float(r)
+                        lines.append(f"{name1}\t{name2}\t{score:.6f}")
+                    elif cigar:
+                        from aligntools_tpu.utils.cigar import rows_to_cigar
+
+                        lines.append(
+                            f"{name1}\t{name2}\t{r.score:.6f}\t"
+                            f"{rows_to_cigar(r.row1, r.row2)}"
+                        )
+                    else:
+                        lines.append(
+                            f"{name1}\t{name2}\t{r.score:.6f}\t"
+                            f"{r.row1.decode('latin-1')}\t"
+                            f"{r.row2.decode('latin-1')}"
+                        )
+                    counters.pairs += 1
+                    counters.cells += len(pairs[k][0]) * len(pairs[k][1])
+                if band is None:  # banded work is O(m*W), not bucket-padded
+                    from aligntools_tpu.batch import _bucket_keys
+
+                    counters.padded_cells += sum(
+                        mp * np_ for mp, np_ in _bucket_keys(pairs, 64, 128)
+                    )
+                text = "\n".join(lines) + "\n"
+                out.write(text.encode("latin-1") if own_out else text)
+                if hasattr(out, "flush"):
+                    out.flush()
+                if own_out:
+                    os.fsync(out.fileno())  # durable before manifest says done
+                if manifest:
+                    manifest.mark_done(ci, out.tell() if own_out else None)
+                counters.format_seconds += _time.perf_counter() - tfmt
+    finally:
+        pool.shutdown(wait=False, cancel_futures=True)
     if own_out:
         out.close()
     return counters

@@ -25,6 +25,12 @@ class Counters:
     seconds: float = 0.0
     io_seconds: float = 0.0
     traceback_seconds: float = 0.0
+    # stage decomposition (may SUM past ``seconds`` when the pipeline
+    # overlaps host formatting with the next chunk's device work)
+    encode_seconds: float = 0.0  # bucketize + int32 encode + pad
+    fill_seconds: float = 0.0  # device fills incl. dispatch + sync
+    walk_seconds: float = 0.0  # traceback walks + row assembly
+    format_seconds: float = 0.0  # TSV formatting + write
 
     @property
     def gcups(self) -> float:
@@ -47,6 +53,12 @@ class Counters:
             extras.append(f"pad-efficiency {self.pad_efficiency:.1%}")
         if self.traceback_seconds:
             extras.append(f"traceback {self.traceback_seconds:.3f}s")
+        for name, val in (("encode", self.encode_seconds),
+                          ("fill", self.fill_seconds),
+                          ("walk", self.walk_seconds),
+                          ("format", self.format_seconds)):
+            if val:
+                extras.append(f"{name} {val:.3f}s")
         stream.write(
             f"[aligntools] {self.pairs} pairs, {self.cells / 1e9:.3f} Gcells "
             f"in {self.seconds:.3f}s = {self.gcups:.2f} GCUPS "
