@@ -109,7 +109,13 @@ def use_chunked(batch: int, n_pad: int) -> bool:
 
     It collapses at batch 64 (1.3 GCUPS — the same XLA small-batch
     cliff as the plain engine), so the calibrated ``bmin`` still gates
-    Pallas vs XLA. Score-only; pointer-emitting fills route elsewhere.
+    Pallas vs XLA. Round 4: pointer-emitting fills ride it too
+    (chunked_ptr_fill / chunked_fit_ptr_fill, packed nibble/2-bit raw
+    block layouts walked by engine/device_tb) — see the TPU routing
+    table in docs/DESIGN.md §3. The plain vmap engine (engine/scan.py)
+    is the CPU/test engine: its TPU territory is the calibration gap
+    ``bmin <= batch < chunked_bmin``, which is EMPTY under the defaults
+    (chunked_bmin falls back to bmin) and on calibrated v5e.
     ALIGNTOOLS_NO_CHUNKED=1 disables (escape hatch)."""
     import os
 

@@ -185,6 +185,60 @@ def bench_fit_jump(engine, B, m, L, rng):
     return B * m * L / per / 1e9, per
 
 
+def bench_rows(mode, B, m, n, rng):
+    """Full-alignment end-to-end: align_batch with traceback=True —
+    pointer-emitting fill + device walk + host row assembly, timed as one
+    wall-clock unit (no amortized chaining: the host calls ARE the
+    product surface here). Returns (effective GCUPS over true cells,
+    seconds, rows/sec)."""
+    from aligntools_tpu.batch import align_batch
+    from aligntools_tpu.params import AlignParams
+
+    alpha = list(b"ACGT")
+    pairs = [
+        (bytes(rng.choice(alpha, m).tolist()),
+         bytes(rng.choice(alpha, n).tolist()))
+        for _ in range(B)
+    ]
+    p = AlignParams()
+    align_batch(mode, pairs, p, traceback=True)  # compile + warm
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        res = align_batch(mode, pairs, p, traceback=True)
+        best = min(best, time.perf_counter() - t0)
+    assert all(r.row1 for r in res)
+    return B * m * n / best / 1e9, best, B / best
+
+
+def bench_clustered(mode, P, rng):
+    """Effective GCUPS on the mixed-length clustered workload (bench.py's
+    synthetic read-set: m ~ 300 +-20%, n ~ 3000 +-25%): true cells /
+    wall seconds through the production batch_scores path — what a user
+    actually gets after bucketing/padding, vs the fixed-shape kernel
+    rows above."""
+    from aligntools_tpu.batch import batch_scores
+    from aligntools_tpu.params import AlignParams
+
+    alpha = list(b"ACGT")
+    ms = np.exp(rng.normal(np.log(300), 0.2, P)).astype(int)
+    ns = np.exp(rng.normal(np.log(3000), 0.25, P)).astype(int)
+    pairs = [
+        (bytes(rng.choice(alpha, max(1, int(a))).tolist()),
+         bytes(rng.choice(alpha, max(1, int(b))).tolist()))
+        for a, b in zip(ms, ns)
+    ]
+    p = AlignParams()
+    batch_scores(mode, pairs, p)  # compile + warm
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        batch_scores(mode, pairs, p)
+        best = min(best, time.perf_counter() - t0)
+    true_cells = sum(len(q) * len(t) for q, t in pairs)
+    return true_cells / best / 1e9, best, P / best
+
+
 def bench_banded(mode, engine, B, L, W, rng):
     """Banded fills: GCUPS counts band cells only (B * L * (2W+1)) — the
     work actually done; the full-matrix-equivalent rate is (L/V)x higher."""
@@ -251,13 +305,23 @@ def bench_banded(mode, engine, B, L, W, rng):
 def run_one_case(spec: str):
     """--case mode: run ONE configuration in this process, print one JSON
     row. Spec grammar:  flat:mode:engine:B:L | fitjump:engine:B:m:L |
-    banded:mode:engine:B:L:W"""
+    banded:mode:engine:B:L:W | rows:mode:B:m:n | clustered:mode:P"""
     rng = np.random.default_rng(0)
     f = spec.split(":")
     if f[0] == "flat":
         _, mode, engine, B, L = f
         g, per = bench_case(mode, engine, int(B), int(L), rng)
         row = {"case": f"{mode} {B}x{L}^2", "engine": engine}
+    elif f[0] == "rows":
+        _, mode, B, m, n = f
+        g, per, rps = bench_rows(mode, int(B), int(m), int(n), rng)
+        row = {"case": f"FULL rows {mode} {B}x({m}x{n})", "engine": "auto",
+               "rows_per_sec": round(rps, 1)}
+    elif f[0] == "clustered":
+        _, mode, P = f
+        g, per, rps = bench_clustered(mode, int(P), rng)
+        row = {"case": f"clustered scores {mode} P={P} (true cells)",
+               "engine": "auto", "pairs_per_sec": round(rps, 1)}
     elif f[0] == "fitjump":
         _, engine, B, m, L = f
         g, per = bench_fit_jump(engine, int(B), int(m), int(L), rng)
@@ -296,6 +360,21 @@ def _case_specs(only):
                   "fitjump:chunked:128:512:32768",
                   "fitjump:pallas:128:512:32768",
                   "fitjump:blocked:8:2048:131072"]
+    if only in (None, "rows"):
+        # full-alignment end-to-end (packed chunked ptr fill + device
+        # walk + host assembly): the round-4 routing contract shapes —
+        # 64x8192^2's UNPACKED tensor is 4.3 GB/pair-batch (the round-3
+        # OOM regime); packed nibble it fits and must measure here
+        for mode in ("global", "local", "overlap"):
+            specs.append(f"rows:{mode}:256:2048:2048")
+        specs += ["rows:global:64:8192:8192",
+                  # the round-3 OOM shape: unpacked ptrs = 16 GiB (all of
+                  # HBM); packed nibble = 8.6 GB -> budget router slices
+                  # into 2 fills of 128. End-to-end or bust.
+                  "rows:global:256:8192:8192",
+                  "rows:fit:64:512:32768",
+                  "clustered:local:512",
+                  "clustered:global:2048"]
     return specs
 
 
@@ -326,8 +405,10 @@ def main():
     for a in sys.argv[1:]:
         if a.startswith("--only="):
             only = a.split("=", 1)[1]
-            if only not in ("banded", "flat"):
-                sys.exit(f"unknown --only={only} (choices: banded, flat)")
+            if only not in ("banded", "flat", "rows"):
+                sys.exit(
+                    f"unknown --only={only} (choices: banded, flat, rows)"
+                )
 
     ref_gcups = _reference_anchor()
     print(json.dumps({"reference_anchor_gcups":
@@ -346,10 +427,15 @@ def main():
                 row = json.loads(ln[4:])
         if row is None:
             tail = (r.stderr.strip() or r.stdout.strip())[-200:]
-            case = spec  # raw spec names the failed config unambiguously
-            row = {"case": case, "engine": spec.split(":")[2]
-                   if spec.split(":")[0] != "fitjump"
-                   else spec.split(":")[1],
+            kind = spec.split(":")[0]
+            if kind == "fitjump":
+                eng = spec.split(":")[1]
+            elif kind in ("rows", "clustered"):
+                eng = "auto"
+            else:
+                eng = spec.split(":")[2]
+            # raw spec names the failed config unambiguously
+            row = {"case": spec, "engine": eng,
                    "error": f"rc={r.returncode}: {tail}"}
         if "gcups" in row and ref_gcups:
             row["ref_x"] = round(row["gcups"] / ref_gcups, 1)
@@ -378,14 +464,20 @@ def main():
             "",
             banded_note,
             "",
-            "| case | engine | GCUPS | fill ms | ref x |",
-            "|---|---|---|---|---|",
+            "FULL rows cases are end-to-end wall time (pointer fill + "
+            "device traceback walk + host row assembly, best of 3 warm "
+            "runs); clustered cases count TRUE cells (not padded) through "
+            "the production bucketizer — both use effective GCUPS.",
+            "",
+            "| case | engine | GCUPS | fill ms | ref x | pairs/s |",
+            "|---|---|---|---|---|---|",
         ]
         for r in rows:
+            rate = r.get("rows_per_sec", r.get("pairs_per_sec", "-"))
             lines.append(
                 f"| {r['case']} | {r['engine']} | "
                 f"{r.get('gcups', 'ERR')} | {r.get('fill_ms', '-')} | "
-                f"{r.get('ref_x', '-')} |"
+                f"{r.get('ref_x', '-')} | {rate} |"
             )
         out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "RESULTS.md")

@@ -474,9 +474,75 @@ def stage_chunked(ctx):
     print("chunked-ptr fit+jump rows: OK", flush=True)
 
 
+def stage_chunkedpack(ctx):
+    """Packed chunked pointer fills on hardware (round 4): rpb=2 nibble
+    (global/local/fit no-jump) and rpb=4 2-bit (overlap) raw block
+    layouts, walked directly by the device walker (blk_chunk>0,
+    col_base=1) — the production path batch._bucket_rows drives whenever
+    the HBM budget router picks the packed route. Rows must be
+    byte-identical to the unpacked XLA-engine run."""
+    import jax.numpy as jnp
+
+    from aligntools_tpu.batch import align_batch
+    from aligntools_tpu.engine import chunked as ck
+    from aligntools_tpu.engine import device_tb
+
+    pairs = ctx.gen(8, 100, 512, 1000, 4600)
+    qs, ts, allow, ns, ms = ctx.bucket(pairs, 512, 4608)
+    ps = np.zeros((len(pairs), 6), np.float32)
+    ps[:, :5] = ctx.params[0, :5]
+    ps[:, 5] = ms[:, 0]
+    a = (jnp.asarray(qs), jnp.asarray(ts), jnp.asarray(ns[:, 0]),
+         jnp.asarray(ps))
+    chunk = 1024
+    blk_chunk = ck.pick_chunk(4608, chunk)[1]
+    for mode, rpb in (("global", 2), ("local", 2), ("overlap", 4)):
+        want_r = align_batch(mode, pairs, ctx.p, engine="xla")
+        out = ck.chunked_ptr_fill(mode, a[0], a[1], a[2], chunk, rpb,
+                                  params=a[3])
+        score = np.asarray(out[0]).astype(np.float64)
+        assert np.array_equal(score, [w.score for w in want_r]), mode
+        if mode == "global":
+            starts = [(int(np.asarray(out[1])[k]), int(ms[k, 0]),
+                       int(ns[k, 0])) for k in range(len(pairs))]
+        elif mode == "local":
+            starts = [(1, int(np.asarray(out[1])[k]),
+                       int(np.asarray(out[2])[k]))
+                      for k in range(len(pairs))]
+        else:
+            starts = [(0, int(ms[k, 0]), int(np.asarray(out[1])[k]))
+                      for k in range(len(pairs))]
+        rows = device_tb.batch_traceback(
+            mode, out[-1], qs, ts, pairs, starts,
+            col_base=1, pack4=rpb, blk_chunk=blk_chunk,
+        )
+        for k in range(len(pairs)):
+            assert rows[k] == (want_r[k].row1, want_r[k].row2), (mode, k)
+        print(f"chunked-packed rpb={rpb} {mode} rows: OK", flush=True)
+    # fit without jump: nibble layout
+    want_r = align_batch("fit", pairs, ctx.p, engine="xla")
+    allowb = jnp.asarray(np.ones((len(pairs), 4608), bool))
+    out = ck.chunked_fit_ptr_fill(False, a[0], a[1], allowb, a[2], chunk,
+                                  2, params=a[3])
+    score = np.asarray(out[0]).astype(np.float64)
+    assert np.array_equal(score, [w.score for w in want_r]), "fit"
+    starts = [
+        (1 if int(np.asarray(out[1])[k]) == 0 else 0, int(ms[k, 0]),
+         int(np.asarray(out[2])[k]))
+        for k in range(len(pairs))
+    ]
+    rows = device_tb.batch_traceback("fit", out[-1], qs, ts, pairs,
+                                     starts, col_base=1, pack4=2,
+                                     blk_chunk=blk_chunk)
+    for k in range(len(pairs)):
+        assert rows[k] == (want_r[k].row1, want_r[k].row2), ("fit", k)
+    print("chunked-packed rpb=2 fit rows: OK", flush=True)
+
+
 STAGES = {
     "flat": stage_flat,
     "chunked": stage_chunked,
+    "chunkedpack": stage_chunkedpack,
     "scanvar": stage_scanvar,
     "blocked": stage_blocked,
     "blockedptr": stage_blockedptr,
