@@ -66,7 +66,7 @@ def bucket_len(x: int, floor: int, steps: int = 1) -> int:
                 b = rung
                 break
     if b > _select.PALLAS_FLAT_MAX_N_PAD:
-        c = _select.BLOCKED_C_BLK
+        c = _select.blocked_c_blk()
         b = -(-b // c) * c
     return b
 
@@ -126,7 +126,7 @@ def _align_n(x: int, n_floor: int) -> int:
     column-streamed kernel requires n_pad % c_blk == 0)."""
     b = max(n_floor, -(-int(x) // 128) * 128)
     if b > _select.PALLAS_FLAT_MAX_N_PAD:
-        c = _select.BLOCKED_C_BLK
+        c = _select.blocked_c_blk()
         b = -(-b // c) * c
     return b
 
@@ -320,7 +320,7 @@ def _chunked_bucket_scores(mode, b, params: AlignParams, use_jump: bool):
             else np.ones((len(b.idx), b.n_pad), dtype=bool)
         )
         out = ck.chunked_fit_scores(
-            use_jump, qs, ts, allowed, ns, ck.DEFAULT_CHUNK, params=ps
+            use_jump, qs, ts, allowed, ns, ck.default_chunk(), params=ps
         )
     else:
         # static param property: all penalties non-positive lets local
@@ -331,7 +331,7 @@ def _chunked_bucket_scores(mode, b, params: AlignParams, use_jump: bool):
             and params.gap_extend <= 0
         )
         out = ck.chunked_scores(
-            mode, qs, ts, ns, ck.DEFAULT_CHUNK, params=ps,
+            mode, qs, ts, ns, ck.default_chunk(), params=ps,
             decaying_params=decay,
         )
     return np.asarray(out)
@@ -355,7 +355,7 @@ def _pallas_bucket_scores(mode, b, params: AlignParams, use_jump: bool):
 
         out = blocked_scores(
             mode, use_jump and mode == "fit", b.m_pad, b.n_pad,
-            _select.BLOCKED_C_BLK, interpret, qs, ts, allow, ns, ms, pmat,
+            _select.blocked_c_blk(), interpret, qs, ts, allow, ns, ms, pmat,
         )
     elif mode == "fit":
         out = pk.pallas_fit_scores(
@@ -405,7 +405,7 @@ def _pallas_bucket_full(mode, b, params, use_jump, pairs, results,
 
         score, a, bb, ptrs = blocked_ptr_fill(
             mode, jump, b.m_pad, b.n_pad,
-            _select.BLOCKED_C_BLK, False, *args, rows_per_byte=pack
+            _select.blocked_c_blk(), False, *args, rows_per_byte=pack
         )
     else:
         score, a, bb, ptrs = pp.pallas_ptr_fill(
@@ -585,7 +585,7 @@ def _bucket_rows(mode, b, params, use_jump, pairs, results, engine,
 
         rpb = _chunked_rpb(mode, use_jump, b.m_pad)
         if rpb > 1:
-            blk_chunk = ck.pick_chunk(b.n_pad, ck.DEFAULT_CHUNK)[1]
+            blk_chunk = ck.pick_chunk(b.n_pad, ck.default_chunk())[1]
     if mode == "fit":
         allowed = jnp.asarray(
             b.allowed
@@ -596,7 +596,7 @@ def _bucket_rows(mode, b, params, use_jump, pairs, results, engine,
             from aligntools_tpu.engine import chunked as ck
 
             out = ck.chunked_fit_ptr_fill(
-                use_jump, qs, ts, allowed, ns, ck.DEFAULT_CHUNK, rpb,
+                use_jump, qs, ts, allowed, ns, ck.default_chunk(), rpb,
                 params=ps,
             )
         else:
@@ -606,7 +606,7 @@ def _bucket_rows(mode, b, params, use_jump, pairs, results, engine,
         from aligntools_tpu.engine import chunked as ck
 
         out = ck.chunked_ptr_fill(
-            mode, qs, ts, ns, ck.DEFAULT_CHUNK, rpb, params=ps
+            mode, qs, ts, ns, ck.default_chunk(), rpb, params=ps
         )
     else:
         out = _vfill(qs, ts, mode, b.n_pad, True, ns, ps)

@@ -218,13 +218,15 @@ def _bench_banded_pair(batch, L, W):
     )
 
 
-def _bench_chunked(batch, n_pad):
-    """Amortized seconds per chunked-engine local fill (engine/chunked.py)."""
+def _bench_chunked(batch, n_pad, chunk=None):
+    """Amortized seconds per chunked-engine local fill (engine/chunked.py)
+    at an optional forced chunk width."""
     import jax.numpy as jnp
     import numpy as np
 
     from aligntools_tpu.engine import chunked as ck
 
+    chunk = chunk or ck.DEFAULT_CHUNK
     rng = np.random.default_rng(7)
     alpha = np.frombuffer(b"ACGT", dtype=np.uint8)
     qs = jnp.asarray(rng.choice(alpha, (batch, n_pad)).astype(np.int32))
@@ -236,8 +238,35 @@ def _bench_chunked(batch, n_pad):
     ps = jnp.asarray(ps)
 
     def one(q, te_arg):
-        return ck.chunked_scores("local", q, te_arg, ns, ck.DEFAULT_CHUNK,
-                                 params=ps)
+        return ck.chunked_scores("local", q, te_arg, ns, chunk, params=ps)
+
+    return _chain_amortized(one, qs, ts)
+
+
+def _bench_blocked(batch, m, n_pad, c_blk):
+    """Amortized seconds per blocked streaming fill (fit+jump — the
+    long-target workload the kernel exists for) at a forced c_blk."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from aligntools_tpu.ops.pallas_blocked import blocked_scores
+
+    rng = np.random.default_rng(7)
+    alpha = np.frombuffer(b"ACGT", dtype=np.uint8)
+    qs = jnp.asarray(rng.choice(alpha, (batch, m)).astype(np.int32))
+    ts = jnp.asarray(rng.choice(alpha, (batch, n_pad)).astype(np.int32))
+    allow = np.ones((batch, n_pad), np.float32)
+    allow[:, :: max(n_pad // 16, 1)] = 0.0
+    allow = jnp.asarray(allow)
+    ns = jnp.asarray(np.full((batch, 1), n_pad, np.int32))
+    ms = jnp.asarray(np.full((batch, 1), m, np.int32))
+    pm = np.zeros((1, 8), np.float32)
+    pm[0, :5] = [1, -2, -5, -1, -10]
+    pm = jnp.asarray(pm)
+
+    def one(q, te_arg):
+        return blocked_scores("fit", True, m, n_pad, c_blk, False,
+                              q, te_arg, allow, ns, ms, pm)[:, 0]
 
     return _chain_amortized(one, qs, ts)
 
@@ -284,6 +313,11 @@ def _run_probe_spec(spec: str) -> dict:
         return {"s": _bench_flat_tile(int(f[1]))}
     if f[0] == "chunked":
         return {"s": _bench_chunked(int(f[1]), int(f[2]))}
+    if f[0] == "chunkedw":
+        return {"s": _bench_chunked(int(f[1]), int(f[2]), chunk=int(f[3]))}
+    if f[0] == "blockedc":
+        return {"s": _bench_blocked(int(f[1]), int(f[2]), int(f[3]),
+                                    int(f[4]))}
     if f[0] == "flatlong":
         return {"s": _bench_flat_tile(int(f[1]), batch=int(f[2]),
                                       n_pad=int(f[3]))}
@@ -464,6 +498,41 @@ def calibrate(force: bool = False, log=print) -> dict:
         result["chunked_bmin"] = int(chunked_bmin)
     else:
         log("  chunked calibration failed or never wins; bmin fallback")
+    # 8. chunked-engine chunk width at a long-target shape (the width
+    #    trades fused-carry register pressure against per-chunk edge
+    #    reseed cost; v5e default 2048)
+    cw_ms = {}
+    for cw in (1024, 2048, 4096):
+        d = _probe(f"chunkedw:128:8192:{cw}", log=log)
+        if d is None:
+            continue
+        cw_ms[cw] = d["s"]
+        log(f"  chunk width {cw:5d} @128x8192^2: {d['s']*1e3:8.2f} ms")
+    if cw_ms:
+        result["measured"]["chunked_chunk"] = {
+            str(k): v for k, v in cw_ms.items()
+        }
+        result["chunked_chunk"] = int(min(cw_ms, key=cw_ms.get))
+    else:
+        log("  chunk-width calibration failed; keeping default 2048")
+    # 9. blocked streaming column-block width (fit+jump small-batch long
+    #    target — the kernel's home regime). NOTE: bucket n snapping
+    #    (batch._align_n) follows this value, so only powers of two that
+    #    divide common long-target pads are probed.
+    cb_ms = {}
+    for cb in (4096, 8192, 16384):
+        d = _probe(f"blockedc:8:2048:65536:{cb}", log=log)
+        if d is None:
+            continue
+        cb_ms[cb] = d["s"]
+        log(f"  blocked c_blk {cb:5d} @8x(2048x65536): {d['s']*1e3:8.2f} ms")
+    if cb_ms:
+        result["measured"]["blocked_c_blk"] = {
+            str(k): v for k, v in cb_ms.items()
+        }
+        result["blocked_c_blk"] = int(min(cb_ms, key=cb_ms.get))
+    else:
+        log("  blocked c_blk calibration failed; keeping default 8192")
     os.makedirs(os.path.dirname(path), exist_ok=True)
     tmp = path + ".tmp"
     with open(tmp, "w") as f:

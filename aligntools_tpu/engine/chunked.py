@@ -60,6 +60,28 @@ NEG = -jnp.inf
 DEFAULT_CHUNK = 2048
 
 
+def default_chunk() -> int:
+    """Production chunk width: env ALIGNTOOLS_CHUNK_WIDTH, then the
+    per-device calibrate table (``chunked_chunk`` — measured by
+    ``aligntools calibrate`` stage 8), then DEFAULT_CHUNK (the v5e
+    measurement: 2048 beat 1024/4096 at 128x8192^2 by staying inside the
+    fused-carry width while amortizing the per-chunk edge reseed)."""
+    import os
+
+    env = os.environ.get("ALIGNTOOLS_CHUNK_WIDTH")
+    if env:
+        return max(128, int(env))
+    try:
+        from aligntools_tpu.backend import on_tpu
+        from aligntools_tpu.engine.autotune import table
+
+        if on_tpu():
+            return int(table().get("chunked_chunk", DEFAULT_CHUNK))
+    except Exception:
+        pass
+    return DEFAULT_CHUNK
+
+
 def pick_chunk(n_pad: int, n_chunk: int = DEFAULT_CHUNK) -> tuple[int, int]:
     """(nblk, chunk) with nblk*chunk >= n_pad, chunk a multiple of 128 as
     close to ``n_chunk`` as the block count allows (waste < 128*nblk)."""

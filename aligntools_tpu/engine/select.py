@@ -36,6 +36,27 @@ PALLAS_FLAT_MAX_N_PAD = 32768
 BLOCKED_C_BLK = 8192
 
 
+def blocked_c_blk() -> int:
+    """Column-block width for the blocked streaming kernels: env
+    ALIGNTOOLS_BLOCKED_CBLK, then the per-device calibrate table
+    (``blocked_c_blk`` — measured by ``aligntools calibrate`` stage 9),
+    then the 8192 v5e default. Bucket n_pad snapping (batch._align_n)
+    reads the same function, so fills and bucket shapes always agree."""
+    import os
+
+    env = os.environ.get("ALIGNTOOLS_BLOCKED_CBLK")
+    if env:
+        return max(128, int(env))
+    try:
+        from aligntools_tpu.engine.autotune import table
+
+        if _on_tpu():
+            return int(table().get("blocked_c_blk", BLOCKED_C_BLK))
+    except Exception:
+        pass
+    return BLOCKED_C_BLK
+
+
 def flat_tile_b(batch: int, n_pad: int) -> int:
     """Batch-tile width for the flat score kernels.
 

@@ -54,7 +54,7 @@ def _sharded_fill(mode, n_pad, mesh, qs, ts, ns, ps, decay=False):
         # vmapped machines everywhere (tests/test_chunked.py).
         from aligntools_tpu.engine import chunked as ck
 
-        vals = ck.chunked_scores(mode, qs, ts, ns, ck.DEFAULT_CHUNK,
+        vals = ck.chunked_scores(mode, qs, ts, ns, ck.default_chunk(),
                                  params=ps, decaying_params=decay)
         total = jax.lax.psum(jnp.sum(jnp.isfinite(vals)), "data")
         gathered = jax.lax.all_gather(vals, "data", tiled=True)
@@ -81,7 +81,7 @@ def _sharded_fill_fit(use_jump, n_pad, mesh, qs, ts, allow, ns, ps):
         from aligntools_tpu.engine import chunked as ck
 
         vals = ck.chunked_fit_scores(use_jump, qs, ts, allow, ns,
-                                     ck.DEFAULT_CHUNK, params=ps)
+                                     ck.default_chunk(), params=ps)
         total = jax.lax.psum(jnp.sum(jnp.isfinite(vals)), "data")
         gathered = jax.lax.all_gather(vals, "data", tiled=True)
         return gathered, total

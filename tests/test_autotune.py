@@ -96,3 +96,43 @@ def test_probe_subprocess_parsing(monkeypatch):
     assert autotune._probe("hang:1", log=logs.append) is None
     assert any("TIMED OUT" in m for m in logs)
     assert any("failed rc=1" in m for m in logs)
+
+
+def test_chunk_width_knob(monkeypatch):
+    """default_chunk(): env override wins; CPU falls back to the
+    constant (the table is TPU-routing-only)."""
+    from aligntools_tpu.engine import chunked as ck
+
+    monkeypatch.delenv("ALIGNTOOLS_CHUNK_WIDTH", raising=False)
+    assert ck.default_chunk() == ck.DEFAULT_CHUNK  # CPU backend here
+    monkeypatch.setenv("ALIGNTOOLS_CHUNK_WIDTH", "1024")
+    assert ck.default_chunk() == 1024
+    monkeypatch.setenv("ALIGNTOOLS_CHUNK_WIDTH", "7")  # floored to 128
+    assert ck.default_chunk() == 128
+
+
+def test_blocked_cblk_knob(monkeypatch):
+    """blocked_c_blk(): env override wins; CPU falls back to the
+    structural 8192 default. Bucket snapping must agree with the knob."""
+    from aligntools_tpu import batch as ab
+    from aligntools_tpu.engine import select
+
+    monkeypatch.delenv("ALIGNTOOLS_BLOCKED_CBLK", raising=False)
+    assert select.blocked_c_blk() == select.BLOCKED_C_BLK
+    monkeypatch.setenv("ALIGNTOOLS_BLOCKED_CBLK", "4096")
+    assert select.blocked_c_blk() == 4096
+    # n snapping above the flat ceiling follows the knob
+    n = ab._align_n(select.PALLAS_FLAT_MAX_N_PAD + 1, 128)
+    assert n % 4096 == 0
+
+
+def test_probe_spec_grammar():
+    """New calibrate probe specs parse to the right benchers (no device
+    work: just verify the spec dispatch rejects junk and accepts the
+    stage-8/9 grammars via signature errors, not KeyErrors)."""
+    import pytest
+
+    from aligntools_tpu.engine import autotune
+
+    with pytest.raises(ValueError):
+        autotune._run_probe_spec("nope:1:2")
