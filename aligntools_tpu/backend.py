@@ -57,3 +57,43 @@ def backend_name() -> str:
 
 def on_tpu() -> bool:
     return backend_name() == "tpu"
+
+
+_cache_enabled = False
+
+
+def enable_compile_cache() -> None:
+    """Persistent XLA compilation cache for the single-accelerator
+    production surfaces (pipeline, benchmarks).
+
+    A chunked-engine bucket shape costs 10-20 s to compile through the
+    axon tunnel, and a bucketed pipeline run touches dozens of shapes —
+    the first run of a workload pays minutes of compile that every later
+    process re-pays without this. jax 0.9 only honors the
+    ``jax_compilation_cache_dir`` config knob (the documented env var is
+    ignored), so set it programmatically. Single-device only: XLA's
+    LoadedExecutable.serialize() can hard-abort on shard_map executables
+    (observed under the 8-virtual-device CPU suite), and the multi-chip
+    paths are exactly where that risk lives."""
+    global _cache_enabled
+    if _cache_enabled:
+        return
+    import os
+
+    import jax
+
+    try:
+        if jax.device_count() != 1:
+            return
+        cache = os.environ.get(
+            "ALIGNTOOLS_JAX_CACHE",
+            os.path.expanduser("~/.cache/aligntools-jax"),
+        )
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update(
+            "jax_persistent_cache_min_compile_time_secs", 0.5
+        )
+        _cache_enabled = True
+    except Exception:
+        pass

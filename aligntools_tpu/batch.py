@@ -114,6 +114,74 @@ def _bucket_budget() -> int:
     return MAX_BUCKETS
 
 
+def _pad_batch(B: int) -> int:
+    """Compile-stable batch rung: B rounded up to a 1/16-octave grid
+    (grain = 2^floor(log2 B)/16, worst-case 6.25% pad rows, ~3% mean).
+
+    Every jitted fill specializes on its leading batch dimension, so a
+    pipeline whose per-chunk bucket occupancies wander (iid length
+    distributions give B ~ binomial per bucket per chunk) would compile
+    a fresh executable per (B, m_pad, n_pad) triple — measured 779
+    distinct keys on the 100k-pair e2e workload. Snapping B to this
+    grid collapses the B axis to 1-2 rungs per bucket; the pad rows are
+    inert sentinel pairs whose outputs are discarded. Tiny buckets
+    (B <= 16) stay exact — padding 1 pair to 16 would cost 16x."""
+    if B <= 16:
+        return B
+    grain = max(1, (1 << (B.bit_length() - 1)) // 16)
+    return -(-B // grain) * grain
+
+
+def _pad_rows(b: "_Bucket"):
+    """A bucket's host arrays padded to the _pad_batch rung: extra rows
+    are inert sentinel pairs (q=-1 never matches t=-2, m=n=1) computed
+    alongside and discarded — callers scatter results through ``b.idx``
+    (length B_true) so pad outputs are never read. Returns
+    (q, t, allowed_or_None, m, n)."""
+    B = len(b.idx)
+    Bp = _pad_batch(B)
+    if Bp == B:
+        return b.q, b.t, b.allowed, b.m, b.n
+    q = np.zeros((Bp, b.m_pad), np.uint8)
+    t = np.zeros((Bp, b.n_pad), np.uint8)
+    q[:B] = b.q
+    t[:B] = b.t
+    m = np.ones(Bp, np.int32)
+    n = np.ones(Bp, np.int32)
+    m[:B] = b.m
+    n[:B] = b.n
+    allowed = None
+    if b.allowed is not None:
+        allowed = np.ones((Bp, b.n_pad), dtype=bool)
+        allowed[:B] = b.allowed
+    return q, t, allowed, m, n
+
+
+def _sentinelize(q_u8, t_u8, ms, ns):
+    """Widen raw uint8 char planes to the engines' int32-with-sentinels
+    layout ON DEVICE. Transport rides the host link at 1 byte/char —
+    the axon tunnel measures ~0.05 GB/s host->device, so input bytes are
+    the end-to-end bottleneck and int32 transport wastes 4x — while the
+    kernels keep their exact padded semantics (query pad -1 never equals
+    target pad -2, identical to the former host-side int32 layout)."""
+    qi = jnp.where(
+        jnp.arange(q_u8.shape[1])[None, :] < ms[:, None],
+        q_u8.astype(jnp.int32), -1,
+    )
+    ti = jnp.where(
+        jnp.arange(t_u8.shape[1])[None, :] < ns[:, None],
+        t_u8.astype(jnp.int32), -2,
+    )
+    return qi, ti
+
+
+def _acct(counters, Bp: int, b: "_Bucket") -> None:
+    """Padded-cells accounting for one executed fill (honest: includes
+    batch-rung pad rows, not just per-pair shape padding)."""
+    if counters is not None:
+        counters.padded_cells += Bp * b.m_pad * b.n_pad
+
+
 def _align_m(x: int, m_floor: int) -> int:
     """Smallest valid m_pad >= x: multiple of 16 (DMA/pointer-pack
     alignment), floored at the bucket quantum."""
@@ -211,17 +279,28 @@ def _bucket_keys(pairs, m_floor, n_floor, max_buckets=None):
     return out
 
 
-def _bucketize(pairs, sites_list, m_floor=64, n_floor=128):
+def _bucketize(pairs, sites_list, m_floor=64, n_floor=128, keys=None):
+    """Group pairs into shape buckets. ``keys``: optional precomputed
+    per-pair (m_pad, n_pad) shape keys — the pipeline computes ONE
+    global partition over the whole run and slices it per chunk, so
+    every chunk fills with the same compiled shapes instead of
+    re-deriving a slightly different data-dependent partition (and a
+    fresh executable set) per chunk."""
     buckets: dict[tuple[int, int], _Bucket] = {}
-    for k, key in enumerate(_bucket_keys(pairs, m_floor, n_floor)):
+    if keys is None:
+        keys = _bucket_keys(pairs, m_floor, n_floor)
+    for k, key in enumerate(keys):
         b = buckets.get(key)
         if b is None:
             b = buckets[key] = _Bucket(key[0], key[1], [], None, None, None, None)
         b.idx.append(k)
     for b in buckets.values():
         B = len(b.idx)
-        b.q = np.full((B, b.m_pad), -1, dtype=np.int32)
-        b.t = np.full((B, b.n_pad), -2, dtype=np.int32)
+        # raw uint8 char planes (1 byte/char host-link transport); the
+        # int32 sentinel layout the engines consume is reconstructed on
+        # device by _sentinelize (or on host by _kernel_arrays)
+        b.q = np.zeros((B, b.m_pad), dtype=np.uint8)
+        b.t = np.zeros((B, b.n_pad), dtype=np.uint8)
         b.m = np.zeros(B, dtype=np.int32)
         b.n = np.zeros(B, dtype=np.int32)
         if sites_list is not None:
@@ -240,8 +319,13 @@ def _bucketize(pairs, sites_list, m_floor=64, n_floor=128):
 
 
 # vmapped fills: batch over (q, t, n, params); n_pad / flags static.
+# qs/ts arrive as raw uint8 planes; _sentinelize reconstructs the int32
+# sentinel layout on device (ms rides ps[:, 5], exact in f32 for any
+# sequence this side of 2^24).
 @functools.partial(jax.jit, static_argnums=(2, 3, 4))
 def _vfill(qs, ts, mode, n_pad, emit_ptrs, ns, ps):
+    if qs.dtype == jnp.uint8:
+        qs, ts = _sentinelize(qs, ts, ps[:, 5].astype(jnp.int32), ns)
     fill = {
         "global": _scan.global_fill,
         "local": _scan.local_fill,
@@ -257,11 +341,31 @@ def _vfill(qs, ts, mode, n_pad, emit_ptrs, ns, ps):
 
 @functools.partial(jax.jit, static_argnums=(3, 4, 5))
 def _vfill_fit(qs, ts, allowed, n_pad, use_jump, emit_ptrs, ns, ps):
+    if qs.dtype == jnp.uint8:
+        qs, ts = _sentinelize(qs, ts, ps[:, 5].astype(jnp.int32), ns)
     return jax.vmap(
         lambda q, t, a, n, p: _scan.fit_fill(
             q, t, n, p, a, n_pad, use_jump, emit_ptrs
         )
     )(qs, ts, allowed, ns, ps)
+
+
+# standalone widen jit: uint8 planes cross the host link, this tiny
+# elementwise program (compiles in ms, unlike re-wrapping the engine
+# fills in an outer jit, which re-traces their big scans) materializes
+# the int32 sentinel layout in HBM for the unmodified engine fills
+_sentinelize_dev = jax.jit(_sentinelize)
+
+
+def _dev_inputs(q_np, t_np, m_np, n_np):
+    """Device int32 sentinel planes + ns from host uint8 planes: 1
+    byte/char over the link, widened on device."""
+    ns = jnp.asarray(np.ascontiguousarray(n_np, np.int32))
+    ms = jnp.asarray(np.ascontiguousarray(m_np, np.int32))
+    qi, ti = _sentinelize_dev(
+        jnp.asarray(q_np), jnp.asarray(t_np), ms, ns
+    )
+    return qi, ti, ns
 
 
 def _params_mat(p: AlignParams, ms: np.ndarray) -> jnp.ndarray:
@@ -286,11 +390,19 @@ def _kernel_arrays(b, params: AlignParams, tile_b: int | None = None):
     if tile_b is None:
         tile_b = TILE_B
     B = len(b.idx)
-    Bp = -(-B // tile_b) * tile_b
+    # batch rung first (compile-key stability across pipeline chunks),
+    # then the kernel's tile multiple
+    Bp = -(-_pad_batch(B) // tile_b) * tile_b
+    # Pallas kernels take the int32 sentinel layout directly (host-side
+    # widen; these are the small-batch/short-target buckets)
     qs = np.full((Bp, b.m_pad), -1, np.int32)
     ts = np.full((Bp, b.n_pad), -2, np.int32)
-    qs[:B] = b.q
-    ts[:B] = b.t
+    qs[:B] = np.where(
+        np.arange(b.m_pad)[None, :] < b.m[:, None], b.q, -1
+    )
+    ts[:B] = np.where(
+        np.arange(b.n_pad)[None, :] < b.n[:, None], b.t, -2
+    )
     ns = np.ones((Bp, 1), np.int32)
     ms = np.ones((Bp, 1), np.int32)
     ns[:B, 0] = b.n
@@ -310,14 +422,14 @@ def _chunked_bucket_scores(mode, b, params: AlignParams, use_jump: bool):
     — the large-batch long-target regime (engine/select.py use_chunked)."""
     from aligntools_tpu.engine import chunked as ck
 
-    ps = _params_mat(params, b.m)
-    ns = jnp.asarray(b.n)
-    qs, ts = jnp.asarray(b.q), jnp.asarray(b.t)
+    q_np, t_np, allowed_np, m_np, n_np = _pad_rows(b)
+    ps = _params_mat(params, m_np)
+    qs, ts, ns = _dev_inputs(q_np, t_np, m_np, n_np)
     if mode == "fit":
         allowed = jnp.asarray(
-            b.allowed
-            if b.allowed is not None
-            else np.ones((len(b.idx), b.n_pad), dtype=bool)
+            allowed_np
+            if allowed_np is not None
+            else np.ones((len(q_np), b.n_pad), dtype=bool)
         )
         out = ck.chunked_fit_scores(
             use_jump, qs, ts, allowed, ns, ck.default_chunk(), params=ps
@@ -334,7 +446,7 @@ def _chunked_bucket_scores(mode, b, params: AlignParams, use_jump: bool):
             mode, qs, ts, ns, ck.default_chunk(), params=ps,
             decaying_params=decay,
         )
-    return np.asarray(out)
+    return out  # lazy device vector; align_batch syncs in one wave
 
 
 def _pallas_bucket_scores(mode, b, params: AlignParams, use_jump: bool):
@@ -367,7 +479,41 @@ def _pallas_bucket_scores(mode, b, params: AlignParams, use_jump: bool):
             mode, b.m_pad, b.n_pad, interpret, qs, ts, ns, ms, pmat,
             tile_b=tile_b,
         )
-    return np.asarray(out)[:B]
+    return out  # lazy device vector (tile-padded rows past B unused)
+
+
+def _dispatch_scores(mode, b, params, use_jump, engine, counters):
+    """Dispatch ONE score bucket's device fill without syncing: returns
+    the lazy device score vector (batch-rung / tile pad rows included —
+    callers index results through ``b.idx``). Routing mirrors
+    engine/select.py: chunked XLA for large-batch long-target buckets,
+    Pallas below that window, the vmapped XLA machines otherwise."""
+    if engine == "auto" and _select.use_chunked(len(b.idx), b.n_pad):
+        _acct(counters, _pad_batch(len(b.idx)), b)
+        return _chunked_bucket_scores(mode, b, params, use_jump)
+    route_pallas = engine != "xla" and (
+        engine == "pallas"
+        or _select.use_pallas(len(b.idx), b.m_pad, b.n_pad, mode)
+    )
+    if route_pallas:
+        _acct(counters, _pad_batch(len(b.idx)), b)
+        return _pallas_bucket_scores(mode, b, params, use_jump)
+    q_np, t_np, allowed_np, m_np, n_np = _pad_rows(b)
+    _acct(counters, len(q_np), b)
+    ps = _params_mat(params, m_np)
+    ns = jnp.asarray(np.ascontiguousarray(n_np, np.int32))
+    qs, ts = jnp.asarray(q_np), jnp.asarray(t_np)
+    if mode == "fit":
+        allowed = jnp.asarray(
+            allowed_np
+            if allowed_np is not None
+            else np.ones((len(q_np), b.n_pad), dtype=bool)
+        )
+        return _vfill_fit(qs, ts, allowed, b.n_pad, use_jump, False,
+                          ns, ps)[0]
+    if mode == "edit":
+        return _vfill(qs, ts, mode, b.n_pad, False, ns, ps)
+    return _vfill(qs, ts, mode, b.n_pad, False, ns, ps)[0]
 
 
 def _tick(counters, field: str, t0: float) -> float:
@@ -388,6 +534,7 @@ def _pallas_bucket_full(mode, b, params, use_jump, pairs, results,
 
     t0 = time.perf_counter()
     args, B, qs_np, ts_np = _kernel_arrays(b, params)
+    _acct(counters, qs_np.shape[0], b)
     jump = use_jump and mode == "fit"
     # pack pointers as tightly as the mode allows: overlap cells are 2
     # bits (4 rows/byte), everything else but fit+jump fits a nibble
@@ -411,25 +558,35 @@ def _pallas_bucket_full(mode, b, params, use_jump, pairs, results,
         score, a, bb, ptrs = pp.pallas_ptr_fill(
             mode, jump, b.m_pad, b.n_pad, False, *args, rows_per_byte=pack
         )
-    score = np.asarray(score)[:B]
-    a = np.asarray(a)[:B]
-    bb = np.asarray(bb)[:B]
-    if mode == "fit" and not np.all(np.isfinite(score)):
+    # walk at the padded batch rung too (stable walk compile keys; no
+    # device-side ptr slice copy): pad rows are _kernel_arrays' inert
+    # sentinel pairs (m=n=1), their walks are valid and discarded
+    Bp = qs_np.shape[0]
+    mfull = np.ones(Bp, np.int64)
+    nfull = np.ones(Bp, np.int64)
+    mfull[:B] = b.m
+    nfull[:B] = b.n
+    score = np.asarray(score)
+    a = np.asarray(a)
+    bb = np.asarray(bb)
+    if mode == "fit" and not np.all(np.isfinite(score[:B])):
         raise RuntimeError("fit: no finite traceback start (reference UB)")
     if mode == "global":
-        starts = [(int(a[r]), b.m[r], b.n[r]) for r in range(B)]
+        starts = [(int(a[r]), int(mfull[r]), int(nfull[r]))
+                  for r in range(Bp)]
     elif mode == "local":
-        starts = [(1, int(a[r]), int(bb[r])) for r in range(B)]
+        starts = [(1, int(a[r]), int(bb[r])) for r in range(Bp)]
     elif mode == "fit":
         # a = use_l (1 when L wins) -> walk states _LOW=0 / _MID=1
-        starts = [(0 if int(a[r]) else 1, b.m[r], int(bb[r]))
-                  for r in range(B)]
+        starts = [(0 if int(a[r]) else 1, int(mfull[r]), int(bb[r]))
+                  for r in range(Bp)]
     else:  # overlap
-        starts = [(0, b.m[r], int(a[r])) for r in range(B)]
+        starts = [(0, int(mfull[r]), int(a[r])) for r in range(Bp)]
     t0 = _tick(counters, "fill_seconds", t0)
     bpairs = [pairs[k] for k in b.idx]
+    bpairs += [(b"A", b"C")] * (Bp - B)
     rows = device_tb.batch_traceback(
-        mode, ptrs[:B], qs_np[:B], ts_np[:B], bpairs, starts, col_base=1,
+        mode, ptrs, qs_np, ts_np, bpairs, starts, col_base=1,
         pack4=pack,
     )
     for r, k in enumerate(b.idx):
@@ -569,9 +726,10 @@ def _bucket_rows(mode, b, params, use_jump, pairs, results, engine,
                             counters)
         return
     t0 = time.perf_counter()
-    ps = _params_mat(params, b.m)
-    ns = jnp.asarray(b.n)
-    qs, ts = jnp.asarray(b.q), jnp.asarray(b.t)
+    q_np, t_np, allowed_np, m_np, n_np = _pad_rows(b)
+    Bp = len(q_np)
+    _acct(counters, Bp, b)
+    ps = _params_mat(params, m_np)
     # Full-alignment fills in the chunked engine's regime ride its faster
     # fill too — the pointer variants return the exact vmapped fill
     # tuples (bit-identical starts; packed bytes walk identically,
@@ -586,15 +744,20 @@ def _bucket_rows(mode, b, params, use_jump, pairs, results, engine,
         rpb = _chunked_rpb(mode, use_jump, b.m_pad)
         if rpb > 1:
             blk_chunk = ck.pick_chunk(b.n_pad, ck.default_chunk())[1]
+        # chunked fills take the int32 sentinel planes (widened on
+        # device from the uint8 transport)
+        qs, ts, ns = _dev_inputs(q_np, t_np, m_np, n_np)
+    else:
+        # the vmap fills widen inside their own jit
+        ns = jnp.asarray(np.ascontiguousarray(n_np, np.int32))
+        qs, ts = jnp.asarray(q_np), jnp.asarray(t_np)
     if mode == "fit":
         allowed = jnp.asarray(
-            b.allowed
-            if b.allowed is not None
-            else np.ones((len(b.idx), b.n_pad), dtype=bool)
+            allowed_np
+            if allowed_np is not None
+            else np.ones((Bp, b.n_pad), dtype=bool)
         )
         if chunked_full:
-            from aligntools_tpu.engine import chunked as ck
-
             out = ck.chunked_fit_ptr_fill(
                 use_jump, qs, ts, allowed, ns, ck.default_chunk(), rpb,
                 params=ps,
@@ -603,8 +766,6 @@ def _bucket_rows(mode, b, params, use_jump, pairs, results, engine,
             out = _vfill_fit(qs, ts, allowed, b.n_pad, use_jump, True,
                              ns, ps)
     elif chunked_full:
-        from aligntools_tpu.engine import chunked as ck
-
         out = ck.chunked_ptr_fill(
             mode, qs, ts, ns, ck.default_chunk(), rpb, params=ps
         )
@@ -617,35 +778,41 @@ def _bucket_rows(mode, b, params, use_jump, pairs, results, engine,
     if _on_tpu() or blk_chunk:
         from aligntools_tpu.engine import device_tb
 
+        # walk inputs padded to the fill's batch rung (the walk jit
+        # specializes on B too); pad rows walk the sentinel DP's own
+        # pointers from (1, 1) and their rows are discarded below
         bpairs = [pairs[k] for k in b.idx]
+        bpairs += [(b"A", b"C")] * (Bp - len(b.idx))
+        # one bulk device->host pull for the start scalars (per-element
+        # int(out[i][r]) would round-trip the tunnel per pair)
+        a1 = np.asarray(out[1])
         if mode == "global":
             starts = [
-                (int(out[1][r]), b.m[r], b.n[r])
-                for r in range(len(b.idx))
+                (int(a1[r]), int(m_np[r]), int(n_np[r]))
+                for r in range(Bp)
             ]
             # engine start codes 0/1/2 = L/M/U match walk states
         elif mode == "local":
-            starts = [
-                (1, int(out[1][r]), int(out[2][r]))
-                for r in range(len(b.idx))
-            ]
+            a2 = np.asarray(out[2])
+            starts = [(1, int(a1[r]), int(a2[r])) for r in range(Bp)]
         elif mode == "fit":
+            a2 = np.asarray(out[2])
             starts = [
-                (1 if int(out[1][r]) == 0 else 0, b.m[r], int(out[2][r]))
-                for r in range(len(b.idx))
+                (1 if int(a1[r]) == 0 else 0, int(m_np[r]), int(a2[r]))
+                for r in range(Bp)
             ]
         else:  # overlap
-            starts = [
-                (0, b.m[r], int(out[1][r])) for r in range(len(b.idx))
-            ]
+            starts = [(0, int(m_np[r]), int(a1[r])) for r in range(Bp)]
         scores = np.asarray(out[0])
-        if mode == "fit" and not np.all(np.isfinite(scores)):
+        if mode == "fit" and not np.all(
+            np.isfinite(scores[: len(b.idx)])
+        ):
             raise RuntimeError(
                 "fit: no finite traceback start (reference UB)"
             )
         t0 = _tick(counters, "fill_seconds", t0)
         rows = device_tb.batch_traceback(
-            mode, out[-1], b.q, b.t, bpairs, starts,
+            mode, out[-1], q_np, t_np, bpairs, starts,
             col_base=1 if blk_chunk else 0, pack4=rpb,
             blk_chunk=blk_chunk,
         )
@@ -692,12 +859,15 @@ def align_batch(
     traceback: bool = True,
     engine: str = "auto",
     counters=None,
+    keys=None,
 ):
     """Align many pairs. Returns a list parallel to ``pairs``:
     AlignResult per pair (int for mode='edit'); with ``traceback=False``,
     AlignResults carry empty rows (score-only, no pointer tensors).
     ``counters``: optional utils.profiling.Counters accumulating the
-    encode/fill/walk stage decomposition."""
+    encode/fill/walk stage decomposition. ``keys``: optional precomputed
+    per-pair bucket shape keys (see _bucketize) so a chunked pipeline
+    reuses one global partition's compiled shapes."""
     if mode == "fit":
         for q, t in pairs:
             if len(q) > len(t):
@@ -707,73 +877,32 @@ def align_batch(
         _scan.check_f32_exact(params, worst, 0, mode)
     use_jump = sites_list is not None
     t0 = time.perf_counter()
-    buckets = _bucketize(pairs, sites_list if use_jump else None)
+    buckets = _bucketize(pairs, sites_list if use_jump else None,
+                         keys=keys)
     t0 = _tick(counters, "encode_seconds", t0)
     results: list = [None] * len(pairs)
+    if mode == "edit" or not traceback:
+        # Score-only: dispatch EVERY bucket's fill before syncing any.
+        # JAX dispatch is async, so the host link (transfers + per-call
+        # latency, the dominant cost through the axon tunnel) overlaps
+        # device compute across buckets; one collect wave then pulls the
+        # tiny score vectors.
+        tf = time.perf_counter()
+        lazy = []
+        for b in buckets.values():
+            lazy.append((b, _dispatch_scores(
+                mode, b, params, use_jump, engine, counters
+            )))
+        for b, out in lazy:
+            vals = np.asarray(out)
+            for r, k in enumerate(b.idx):
+                results[k] = (
+                    int(vals[r]) if mode == "edit"
+                    else AlignResult(float(vals[r]), b"", b"")
+                )
+        _tick(counters, "fill_seconds", tf)
+        return results
     for b in buckets.values():
-        # Large-batch long-target score buckets: the column-chunked XLA
-        # engine (engine/chunked.py) beats both the flat/blocked Pallas
-        # kernels and the plain XLA row scan there (engine/select.py
-        # use_chunked docstring for the v5e numbers).
-        if (
-            not traceback
-            and engine == "auto"
-            and _select.use_chunked(len(b.idx), b.n_pad)
-        ):
-            tf = time.perf_counter()
-            vals = _chunked_bucket_scores(mode, b, params, use_jump)
-            _tick(counters, "fill_seconds", tf)
-            for r, k in enumerate(b.idx):
-                results[k] = (
-                    int(vals[r]) if mode == "edit"
-                    else AlignResult(float(vals[r]), b"", b"")
-                )
-            continue
-        route_pallas = engine != "xla" and (
-            engine == "pallas"
-            or _select.use_pallas(len(b.idx), b.m_pad, b.n_pad, mode)
-        )
-        if not traceback and route_pallas:
-            tf = time.perf_counter()
-            vals = _pallas_bucket_scores(mode, b, params, use_jump)
-            _tick(counters, "fill_seconds", tf)
-            for r, k in enumerate(b.idx):
-                results[k] = (
-                    int(vals[r]) if mode == "edit"
-                    else AlignResult(float(vals[r]), b"", b"")
-                )
-            continue
-        if mode == "edit" or not traceback:
-            # score-only on the vmapped XLA machines (the CPU/test
-            # engine; on TPU only buckets outside both the chunked and
-            # Pallas windows land here)
-            tf = time.perf_counter()
-            ps = _params_mat(params, b.m)
-            ns = jnp.asarray(b.n)
-            qs, ts = jnp.asarray(b.q), jnp.asarray(b.t)
-            if mode == "fit":
-                allowed = jnp.asarray(
-                    b.allowed
-                    if b.allowed is not None
-                    else np.ones((len(b.idx), b.n_pad), dtype=bool)
-                )
-                out = _vfill_fit(qs, ts, allowed, b.n_pad, use_jump,
-                                 False, ns, ps)
-                vals = np.asarray(out[0])
-            elif mode == "edit":
-                vals = np.asarray(
-                    _vfill(qs, ts, mode, b.n_pad, False, ns, ps)
-                )
-            else:
-                out = _vfill(qs, ts, mode, b.n_pad, False, ns, ps)
-                vals = np.asarray(out[0])
-            _tick(counters, "fill_seconds", tf)
-            for r, k in enumerate(b.idx):
-                results[k] = (
-                    int(vals[r]) if mode == "edit"
-                    else AlignResult(float(vals[r]), b"", b"")
-                )
-            continue
         # rows path: HBM budget router (see the block comment above)
         budget = int(_hbm_budget() * PTR_BUDGET_FRAC)
         bytes_pp = _rows_ptr_bytes_pp(mode, b, use_jump, engine)
@@ -782,10 +911,14 @@ def align_batch(
             _rescan_bucket(mode, b, params, use_jump, pairs, sites_list,
                            results, budget)
             continue
-        if len(b.idx) > cap:
-            # equal-size slices (2 compiled batch shapes at most)
+        if _pad_batch(len(b.idx)) > cap:
+            # equal-size slices (2 compiled batch shapes at most); the
+            # fill allocates the batch RUNG, so size slices by it
             nsl = -(-len(b.idx) // cap)
             step = -(-len(b.idx) // nsl)
+            while step > 1 and _pad_batch(step) > cap:
+                nsl += 1
+                step = -(-len(b.idx) // nsl)
             for lo in range(0, len(b.idx), step):
                 _bucket_rows(mode, _slice_bucket(b, lo, lo + step),
                              params, use_jump, pairs, results, engine,
@@ -803,11 +936,12 @@ def batch_scores(
     sites_list=None,
     engine: str = "auto",
     counters=None,
+    keys=None,
 ) -> np.ndarray:
     """Score-only fast path; returns float64 scores (int values for edit)."""
     res = align_batch(
         mode, pairs, params, sites_list, traceback=False, engine=engine,
-        counters=counters
+        counters=counters, keys=keys
     )
     if mode == "edit":
         return np.asarray(res, dtype=np.int64)

@@ -71,6 +71,10 @@ def run_pipeline(
     """
     from aligntools_tpu.batch import align_batch, batch_scores
 
+    if not sharded:
+        from aligntools_tpu.backend import enable_compile_cache
+
+        enable_compile_cache()
     if out is not None and out_path is not None:
         raise ValueError("pass out or out_path, not both")
     own_out = out_path is not None
@@ -108,10 +112,29 @@ def run_pipeline(
         for i in range(0, len(rec_pairs), chunk_size)
     ]
 
-    def compute(chunk):
+    # ONE global bucket partition for the whole run: per-chunk greedy
+    # partitions drift with the data (measured: 779 distinct compiled
+    # (B, m_pad, n_pad) fill keys on a 100k-pair run at chunk 4096), so
+    # every chunk is bucketed with the same global shape keys and
+    # batch.py's batch-rung padding makes the per-bucket occupancies
+    # collide across chunks too.
+    global_keys = None
+    if band is None and not sharded:
+        from aligntools_tpu.batch import _bucket_keys
+
+        with stopwatch(counters, "encode_seconds"):
+            global_keys = _bucket_keys(
+                [(a.seq, b.seq) for a, b in rec_pairs], 64, 128
+            )
+
+    def compute(ci, chunk):
         """Align one chunk (runs on the prefetch worker: the NEXT chunk's
         encode + device fill overlaps the main thread's formatting and
         writing of the previous chunk's results)."""
+        keys = None
+        if global_keys is not None:
+            lo = ci * chunk_size
+            keys = global_keys[lo : lo + len(chunk)]
         pairs = [(a.seq, b.seq) for a, b in chunk]
         sites_list = None
         if use_sites:
@@ -136,11 +159,11 @@ def run_pipeline(
         if mode == "edit" or scores_only:
             return pairs, list(
                 batch_scores(mode, pairs, params, sites_list,
-                             engine=engine, counters=counters)
+                             engine=engine, counters=counters, keys=keys)
             )
         return pairs, align_batch(
             mode, pairs, params, sites_list, traceback=True,
-            counters=counters,
+            counters=counters, keys=keys,
         )
 
     pending = [
@@ -153,11 +176,11 @@ def run_pipeline(
     pool = ThreadPoolExecutor(1)
     try:
         with device_trace(trace_dir), stopwatch(counters, "seconds"):
-            fut = pool.submit(compute, pending[0][1]) if pending else None
+            fut = pool.submit(compute, *pending[0]) if pending else None
             for pi, (ci, chunk) in enumerate(pending):
                 pairs, results = fut.result()
                 if pi + 1 < len(pending):
-                    fut = pool.submit(compute, pending[pi + 1][1])
+                    fut = pool.submit(compute, *pending[pi + 1])
                 tfmt = _time.perf_counter()
                 lines = []
                 for k, ((a, b), r) in enumerate(zip(chunk, results)):
@@ -183,7 +206,10 @@ def run_pipeline(
                         )
                     counters.pairs += 1
                     counters.cells += len(pairs[k][0]) * len(pairs[k][1])
-                if band is None:  # banded work is O(m*W), not bucket-padded
+                if sharded:
+                    # batch_scores_sharded doesn't thread counters; the
+                    # unsharded paths account executed padded cells
+                    # (incl. batch-rung rows) inside align_batch
                     from aligntools_tpu.batch import _bucket_keys
 
                     counters.padded_cells += sum(

@@ -9,7 +9,7 @@ per-call latency, and the prefetch thread overlaps chunk k+1's
 encode+fill with chunk k's formatting.
 
     /opt/venv/bin/python benchmarks/e2e.py [--pairs 100000] [--mode local]
-        [--rows] [--chunk 4096] [--update-results]
+        [--rows] [--chunk 16384] [--update-results]
 
 Prints one JSON line per run configuration; --update-results rewrites the
 "## End-to-end pipeline" section of benchmarks/RESULTS.md.
@@ -70,7 +70,7 @@ def main():
     P = 100_000
     mode = "local"
     rows = False
-    chunk = 4096
+    chunk = 16384
     update = "--update-results" in sys.argv
     argv = sys.argv[1:]
     for i, a in enumerate(argv):
