@@ -2,12 +2,13 @@
 
 This is the throughput path the reference has no analog of (it processes one
 pair per process invocation, alignment.h:503-510): thousands of pairs are
-encoded int32, grouped into (m_bucket, n_bucket) shape buckets on a
-quarter-octave quantum ladder (worst-case padding 1.25x per dim vs 2x for
-pure powers of two; hardware-aligned rungs; coarsened toward powers of
-two whenever a workload would exceed MAX_BUCKETS distinct shapes) so
-each bucket compiles once, is vmapped over the batch dimension, and
-executes as one device program per bucket.
+stored as raw uint8 char planes (1 byte/char over the host link; the
+engines' int32 sentinel layout is rebuilt on device by _sentinelize),
+grouped into (m_bucket, n_bucket) shape buckets by a greedy optimal-split
+partition under a compile budget (_bucket_keys), batch-padded to
+compile-stable rungs (_pad_batch), and each bucket executes as one device
+program vmapped over the batch dimension — score fills are dispatched
+async across all buckets before one collect wave.
 Padding is mask-correct by construction: DP values flow only rightward/
 downward so padded rows/columns never feed real cells, and every per-mode
 extraction (final-cell gather, running argmax, bottom-row scans) masks to

@@ -500,9 +500,11 @@ def calibrate(force: bool = False, log=print) -> dict:
         log("  chunked calibration failed or never wins; bmin fallback")
     # 8. chunked-engine chunk width at a long-target shape (the width
     #    trades fused-carry register pressure against per-chunk edge
-    #    reseed cost; v5e default 2048)
+    #    reseed cost; v5e measured optimum 1024 — the round-4 grid probe
+    #    benchmarks/probe_chunkgrid.py found 1024 > 2048 at EVERY shape,
+    #    incl. the headline 256x2048^2: 91.1 vs 82.2 GCUPS)
     cw_ms = {}
-    for cw in (1024, 2048, 4096):
+    for cw in (512, 1024, 2048):
         d = _probe(f"chunkedw:128:8192:{cw}", log=log)
         if d is None:
             continue
@@ -514,7 +516,7 @@ def calibrate(force: bool = False, log=print) -> dict:
         }
         result["chunked_chunk"] = int(min(cw_ms, key=cw_ms.get))
     else:
-        log("  chunk-width calibration failed; keeping default 2048")
+        log("  chunk-width calibration failed; keeping default 1024")
     # 9. blocked streaming column-block width (fit+jump small-batch long
     #    target — the kernel's home regime). NOTE: bucket n snapping
     #    (batch._align_n) follows this value, so only powers of two that

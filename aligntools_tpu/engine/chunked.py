@@ -57,15 +57,22 @@ import jax.numpy as jnp
 
 NEG = -jnp.inf
 
-DEFAULT_CHUNK = 2048
+DEFAULT_CHUNK = 1024
 
 
 def default_chunk() -> int:
     """Production chunk width: env ALIGNTOOLS_CHUNK_WIDTH, then the
     per-device calibrate table (``chunked_chunk`` — measured by
-    ``aligntools calibrate`` stage 8), then DEFAULT_CHUNK (the v5e
-    measurement: 2048 beat 1024/4096 at 128x8192^2 by staying inside the
-    fused-carry width while amortizing the per-chunk edge reseed)."""
+    ``aligntools calibrate`` stage 8), then DEFAULT_CHUNK.
+
+    v5e grid measurement (benchmarks/probe_chunkgrid.py, chained
+    on-device timing): 1024 beats 2048 at EVERY probed shape —
+    256x2048^2 local 91.1 vs 82.2 GCUPS, 256x(2048x8192) 92.3 vs 77.8,
+    512x(304x2944) 70.9 vs 59.6, 152x(304x2944) 26.1 vs 3.2 (the 2048
+    width falls off the fused-carry cliff at small B x short m). 512 is
+    ~9% faster still at batch >= 512 on short-query shapes but loses
+    ~10% on the long-m headline shapes; 1024 is the best single
+    default. Non-powers of two lose badly (1536: 55.9 vs 92.3)."""
     import os
 
     env = os.environ.get("ALIGNTOOLS_CHUNK_WIDTH")

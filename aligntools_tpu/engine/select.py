@@ -116,7 +116,7 @@ def use_blocked(mode: str, n_pad: int) -> bool:
 
 def use_chunked(batch: int, n_pad: int) -> bool:
     """Column-chunked XLA score engine (engine/chunked.py): the batched
-    row scan in 2048-column chunks with carried row edges, which keeps
+    row scan in calibrated-width column chunks (v5e: 1024) with carried row edges, which keeps
     XLA's fused-carry regime at ANY target length. It owns the whole
     batch >= bmin score-only regime (v5e round-3 measurements, real
     engine, after the row-latch/best-latch trims):
