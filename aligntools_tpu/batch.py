@@ -77,11 +77,12 @@ class _Bucket:
     m_pad: int
     n_pad: int
     idx: list  # original positions
-    q: np.ndarray  # [B, m_pad] int32
-    t: np.ndarray  # [B, n_pad] int32
+    q: np.ndarray  # [B, m_pad] uint8 raw chars (0 pad)
+    t: np.ndarray  # [B, n_pad] uint8 raw chars (0 pad)
     m: np.ndarray  # [B] int32
     n: np.ndarray  # [B] int32
     allowed: np.ndarray | None = None  # [B, n_pad] bool (fit -s)
+    alpha: np.ndarray | None = None  # (k<=4,) uint8 workload alphabet
 
 
 MAX_BUCKETS = 32  # default total-shape (compile) budget; see _bucket_budget
@@ -316,6 +317,18 @@ def _bucketize(pairs, sites_list, m_floor=64, n_floor=128, keys=None):
                     [x for x in sites_list[k] if 0 <= x < b.n_pad], dtype=np.int64
                 )
                 b.allowed[r, s] = False
+    # workload alphabet (from the true sequences, pads excluded): with
+    # <= 4 distinct chars (DNA), _dev_inputs 2-bit-packs the transport
+    seen = np.zeros(256, dtype=bool)
+    for q, t in pairs:
+        seen[np.frombuffer(q, dtype=np.uint8)] = True
+        seen[np.frombuffer(t, dtype=np.uint8)] = True
+    alpha = np.flatnonzero(seen).astype(np.uint8)
+    if len(alpha) <= 4:
+        lut = np.zeros(4, np.uint8)
+        lut[: len(alpha)] = alpha
+        for b in buckets.values():
+            b.alpha = lut
     return buckets
 
 
@@ -358,18 +371,63 @@ def _vfill_fit(qs, ts, allowed, n_pad, use_jump, emit_ptrs, ns, ps):
 _sentinelize_dev = jax.jit(_sentinelize)
 
 
-def _dev_inputs(q_np, t_np, m_np, n_np):
+def _pack2(plane: np.ndarray, lut: np.ndarray) -> np.ndarray:
+    """Host 2-bit pack: map chars through the 4-entry alphabet ``lut``
+    and pack 4 codes/byte (vectorized strided OR; pad chars map to
+    code 0 and are re-masked by _sentinelize after decode)."""
+    inv = np.zeros(256, np.uint8)
+    inv[lut] = np.arange(4, dtype=np.uint8)
+    c = inv[plane]
+    return np.ascontiguousarray(
+        c[:, 0::4]
+        | (c[:, 1::4] << 2)
+        | (c[:, 2::4] << 4)
+        | (c[:, 3::4] << 6)
+    )
+
+
+@jax.jit
+def _unpack_sentinelize(qp, tp, lut, ms, ns):
+    """Decode 2-bit packed char planes on device and sentinelize: the
+    transport is 0.25 bytes/char (the axon host link measures ~0.05
+    GB/s, so input bytes bound end-to-end throughput; DNA workloads get
+    4x over the uint8 path for one tiny fused gather)."""
+
+    def unpack(p):
+        B, L4 = p.shape
+        shifts = jnp.arange(0, 8, 2, dtype=jnp.uint8)
+        codes = (p[:, :, None] >> shifts[None, None, :]) & 3
+        return codes.reshape(B, L4 * 4).astype(jnp.int32)
+
+    qc = jnp.take(lut.astype(jnp.int32), unpack(qp))
+    tc = jnp.take(lut.astype(jnp.int32), unpack(tp))
+    return _sentinelize(qc, tc, ms, ns)
+
+
+def _dev_inputs(q_np, t_np, m_np, n_np, alpha=None):
     """Device int32 sentinel planes + ns from host uint8 planes: 1
-    byte/char over the link, widened on device."""
+    byte/char over the link (0.25 with a <= 4-letter workload alphabet),
+    widened on device."""
     ns = jnp.asarray(np.ascontiguousarray(n_np, np.int32))
     ms = jnp.asarray(np.ascontiguousarray(m_np, np.int32))
-    qi, ti = _sentinelize_dev(
-        jnp.asarray(q_np), jnp.asarray(t_np), ms, ns
-    )
+    if (
+        alpha is not None
+        and q_np.shape[1] % 4 == 0
+        and t_np.shape[1] % 4 == 0
+    ):
+        qi, ti = _unpack_sentinelize(
+            jnp.asarray(_pack2(q_np, alpha)),
+            jnp.asarray(_pack2(t_np, alpha)),
+            jnp.asarray(alpha), ms, ns,
+        )
+    else:
+        qi, ti = _sentinelize_dev(
+            jnp.asarray(q_np), jnp.asarray(t_np), ms, ns
+        )
     return qi, ti, ns
 
 
-def _params_mat(p: AlignParams, ms: np.ndarray) -> jnp.ndarray:
+def _params_mat_np(p: AlignParams, ms: np.ndarray) -> np.ndarray:
     out = np.tile(
         np.array(
             [p.match, p.mismatch, p.gap_open, p.gap_extend, p.jump, 0],
@@ -378,7 +436,11 @@ def _params_mat(p: AlignParams, ms: np.ndarray) -> jnp.ndarray:
         (len(ms), 1),
     )
     out[:, 5] = ms
-    return jnp.asarray(out)
+    return out
+
+
+def _params_mat(p: AlignParams, ms: np.ndarray) -> jnp.ndarray:
+    return jnp.asarray(_params_mat_np(p, ms))
 
 
 def _kernel_arrays(b, params: AlignParams, tile_b: int | None = None):
@@ -425,7 +487,7 @@ def _chunked_bucket_scores(mode, b, params: AlignParams, use_jump: bool):
 
     q_np, t_np, allowed_np, m_np, n_np = _pad_rows(b)
     ps = _params_mat(params, m_np)
-    qs, ts, ns = _dev_inputs(q_np, t_np, m_np, n_np)
+    qs, ts, ns = _dev_inputs(q_np, t_np, m_np, n_np, b.alpha)
     if mode == "fit":
         allowed = jnp.asarray(
             allowed_np
@@ -747,7 +809,7 @@ def _bucket_rows(mode, b, params, use_jump, pairs, results, engine,
             blk_chunk = ck.pick_chunk(b.n_pad, ck.default_chunk())[1]
         # chunked fills take the int32 sentinel planes (widened on
         # device from the uint8 transport)
-        qs, ts, ns = _dev_inputs(q_np, t_np, m_np, n_np)
+        qs, ts, ns = _dev_inputs(q_np, t_np, m_np, n_np, b.alpha)
     else:
         # the vmap fills widen inside their own jit
         ns = jnp.asarray(np.ascontiguousarray(n_np, np.int32))
@@ -894,8 +956,22 @@ def align_batch(
             lazy.append((b, _dispatch_scores(
                 mode, b, params, use_jump, engine, counters
             )))
-        for b, out in lazy:
-            vals = np.asarray(out)
+        # ONE device->host pull for all buckets: each np.asarray round
+        # trip costs ~30 ms through the tunnel, so per-bucket pulls
+        # would add ~1 s per 32-bucket chunk
+        if len(lazy) > 1:
+            flat = np.asarray(jnp.concatenate(
+                [jnp.ravel(out).astype(jnp.float32) for _, out in lazy]
+            ))
+            off = 0
+            allvals = []
+            for _, out in lazy:
+                sz = int(np.prod(out.shape))
+                allvals.append(flat[off : off + sz])
+                off += sz
+        else:
+            allvals = [np.asarray(out) for _, out in lazy]
+        for (b, _), vals in zip(lazy, allvals):
             for r, k in enumerate(b.idx):
                 results[k] = (
                     int(vals[r]) if mode == "edit"

@@ -303,3 +303,45 @@ def test_ladder_bucket_padding_invariance(mode):
         want = fn(q, t, p)
         assert got[k].score == want.score, (mode, k)
         assert (got[k].row1, got[k].row2) == (want.row1, want.row2), (mode, k)
+
+
+def test_packed_transport_matches_uint8():
+    """2-bit packed transport (_pack2 + _unpack_sentinelize) decodes to
+    the exact int32 sentinel planes of the plain uint8 path, for
+    alphabets of 1-4 chars, ragged lengths, and batch-rung pad rows."""
+    import jax.numpy as jnp
+
+    from aligntools_tpu import batch as ab
+
+    rng = np.random.default_rng(77)
+    for k in (1, 2, 4):
+        alpha_chars = rng.choice(256, size=k, replace=False).astype(np.uint8)
+        pairs = []
+        for _ in range(23):
+            m = int(rng.integers(1, 60))
+            n = int(rng.integers(1, 200))
+            pairs.append((
+                bytes(rng.choice(alpha_chars, m).tolist()),
+                bytes(rng.choice(alpha_chars, n).tolist()),
+            ))
+        buckets = ab._bucketize(pairs, None)
+        for b in buckets.values():
+            assert b.alpha is not None, "small alphabet must be detected"
+            q_np, t_np, _, m_np, n_np = ab._pad_rows(b)
+            ms = jnp.asarray(m_np.astype(np.int32))
+            ns = jnp.asarray(n_np.astype(np.int32))
+            want_q, want_t = ab._sentinelize_dev(
+                jnp.asarray(q_np), jnp.asarray(t_np), ms, ns
+            )
+            got_q, got_t = ab._unpack_sentinelize(
+                jnp.asarray(ab._pack2(q_np, b.alpha)),
+                jnp.asarray(ab._pack2(t_np, b.alpha)),
+                jnp.asarray(b.alpha), ms, ns,
+            )
+            assert np.array_equal(np.asarray(got_q), np.asarray(want_q))
+            assert np.array_equal(np.asarray(got_t), np.asarray(want_t))
+    # > 4 distinct chars: transport must fall back (no alpha)
+    pairs = [(bytes(range(10)), bytes(range(10, 30)))]
+    buckets = ab._bucketize(pairs, None)
+    for b in buckets.values():
+        assert b.alpha is None
