@@ -629,9 +629,13 @@ def _pallas_bucket_full(mode, b, params, use_jump, pairs, results,
     nfull = np.ones(Bp, np.int64)
     mfull[:B] = b.m
     nfull[:B] = b.n
-    score = np.asarray(score)
-    a = np.asarray(a)
-    bb = np.asarray(bb)
+    # one pull for all three scalar vectors (~30 ms per round trip)
+    pulled = np.asarray(jnp.stack([
+        jnp.ravel(score).astype(jnp.float32),
+        jnp.ravel(a).astype(jnp.float32),
+        jnp.ravel(bb).astype(jnp.float32),
+    ]))
+    score, a, bb = pulled[0], pulled[1], pulled[2]
     if mode == "fit" and not np.all(np.isfinite(score[:B])):
         raise RuntimeError("fit: no finite traceback start (reference UB)")
     if mode == "global":
@@ -846,9 +850,15 @@ def _bucket_rows(mode, b, params, use_jump, pairs, results, engine,
         # pointers from (1, 1) and their rows are discarded below
         bpairs = [pairs[k] for k in b.idx]
         bpairs += [(b"A", b"C")] * (Bp - len(b.idx))
-        # one bulk device->host pull for the start scalars (per-element
-        # int(out[i][r]) would round-trip the tunnel per pair)
-        a1 = np.asarray(out[1])
+        # ONE bulk device->host pull for score + start scalars (each
+        # np.asarray round-trips the tunnel at ~30 ms; per-element
+        # int(out[i][r]) would round-trip per pair)
+        nscal = 3 if mode in ("local", "fit") else 2
+        pulled = np.asarray(jnp.stack(
+            [o.astype(jnp.float32) for o in out[:nscal]]
+        ))
+        scores = pulled[0]
+        a1 = pulled[1]
         if mode == "global":
             starts = [
                 (int(a1[r]), int(m_np[r]), int(n_np[r]))
@@ -856,17 +866,16 @@ def _bucket_rows(mode, b, params, use_jump, pairs, results, engine,
             ]
             # engine start codes 0/1/2 = L/M/U match walk states
         elif mode == "local":
-            a2 = np.asarray(out[2])
+            a2 = pulled[2]
             starts = [(1, int(a1[r]), int(a2[r])) for r in range(Bp)]
         elif mode == "fit":
-            a2 = np.asarray(out[2])
+            a2 = pulled[2]
             starts = [
                 (1 if int(a1[r]) == 0 else 0, int(m_np[r]), int(a2[r]))
                 for r in range(Bp)
             ]
         else:  # overlap
             starts = [(0, int(m_np[r]), int(a1[r])) for r in range(Bp)]
-        scores = np.asarray(out[0])
         if mode == "fit" and not np.all(
             np.isfinite(scores[: len(b.idx)])
         ):

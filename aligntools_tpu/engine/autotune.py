@@ -522,7 +522,7 @@ def calibrate(force: bool = False, log=print) -> dict:
     #    (batch._align_n) follows this value, so only powers of two that
     #    divide common long-target pads are probed.
     cb_ms = {}
-    for cb in (4096, 8192, 16384):
+    for cb in (8192, 16384, 32768):
         d = _probe(f"blockedc:8:2048:65536:{cb}", log=log)
         if d is None:
             continue

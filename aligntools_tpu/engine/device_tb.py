@@ -215,38 +215,70 @@ def batch_traceback(mode, ptrs_dev, qs_np, ts_np, pairs, starts,
     n_steps = int(qs_np.shape[1] + ts_np.shape[1] + 1)
     qs_d = jnp.asarray(qs_np)
     ts_d = jnp.asarray(ts_np)
+
+    def _pull(cols1_d, cols2_d, scalar_list):
+        # pack device-side so the tunnel sees ONE bulk transfer for the
+        # char planes and one small one for the scalars (each
+        # np.asarray round-trip costs ~30-100 ms in this environment)
+        both = np.asarray(jnp.stack([cols1_d, cols2_d]))
+        sc = np.asarray(
+            jnp.stack([s.astype(jnp.int32) for s in scalar_list])
+        )
+        return both[0], both[1], sc
+
     if mode == "overlap":
         i0 = jnp.asarray([s[1] for s in starts], jnp.int32)
         j0 = jnp.asarray([s[2] for s in starts], jnp.int32)
-        cols1, cols2, count, _, _, _, err = _walk_overlap(
+        c1d, c2d, count_d, _, _, _, err_d = _walk_overlap(
             n_steps, col_base, False, rpb, blk_chunk, ptrs_dev, qs_d,
             ts_d, i0, j0
         )
+        cols1, cols2, sc = _pull(c1d, c2d, [count_d, err_d])
+        count, err = sc[0], sc[1].astype(bool)
         fi = fj = None
     else:
         state0 = jnp.asarray([s[0] for s in starts], jnp.int32)
         i0 = jnp.asarray([s[1] for s in starts], jnp.int32)
         j0 = jnp.asarray([s[2] for s in starts], jnp.int32)
-        cols1, cols2, count, fi, fj, _, err = _walk_affine(
-            mode != "fit", n_steps, col_base, rpb == 2, mode == "local",
+        stop_j0 = mode != "fit"
+        # Local/fit walks are usually far shorter than m_pad + n_pad
+        # (median tens of steps on read-length workloads — a local
+        # alignment of unrelated reads is a handful of columns; a fit
+        # walk is ~m plus a few gaps), and activity is a prefix: once a
+        # pair goes inactive it never resumes here. So walk a short
+        # first segment and pay the remainder only if some pair is
+        # still mid-walk; counts and char planes concatenate exactly.
+        if mode == "local":
+            rung = 256
+        else:  # fit: ~m rows plus slack for target-consuming gap runs
+            rung = 1 << (int(qs_np.shape[1]) + 64).bit_length()
+        seg2 = rung and n_steps > 2 * rung
+        first = rung if seg2 else n_steps
+        c1d, c2d, cnt_d, fi_d, fj_d, fst_d, err_d = _walk_affine(
+            stop_j0, first, col_base, rpb == 2, mode == "local",
             blk_chunk, ptrs_dev, qs_d, ts_d, state0, i0, j0,
         )
-    # pack device-side so the tunnel sees ONE bulk transfer for the char
-    # planes and one small one for the scalars (each np.asarray round-trip
-    # costs ~0.1 s in this environment)
-    both = np.asarray(jnp.stack([cols1, cols2]))
-    cols1, cols2 = both[0], both[1]
-    if fi is None:
-        scalars = np.asarray(
-            jnp.stack([count, err.astype(jnp.int32)])
+        cols1, cols2, sc = _pull(
+            c1d, c2d, [cnt_d, err_d, fi_d, fj_d, fst_d]
         )
-        count, err = scalars[0], scalars[1].astype(bool)
-    else:
-        scalars = np.asarray(
-            jnp.stack([count, err.astype(jnp.int32), fi, fj])
-        )
-        count, err = scalars[0], scalars[1].astype(bool)
-        fi, fj = scalars[2], scalars[3]
+        count, err = sc[0], sc[1].astype(bool)
+        fi, fj, fst = sc[2], sc[3], sc[4]
+        if seg2:
+            alive = (fst < _DONE) & (fi > 0)
+            if stop_j0:
+                alive = alive & (fj > 0)
+            if alive.any():
+                c1b, c2b, cnt2, fi2, fj2, _, err2 = _walk_affine(
+                    stop_j0, n_steps - first, col_base, rpb == 2,
+                    mode == "local", blk_chunk, ptrs_dev, qs_d, ts_d,
+                    fst_d, fi_d, fj_d,
+                )
+                b1, b2, sc2 = _pull(c1b, c2b, [cnt2, err2, fi2, fj2])
+                cols1 = np.concatenate([cols1, b1])
+                cols2 = np.concatenate([cols2, b2])
+                count = count + sc2[0]
+                err = err | sc2[1].astype(bool)
+                fi, fj = sc2[2], sc2[3]
     out = []
     for b in range(B):
         if err[b]:

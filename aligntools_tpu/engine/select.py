@@ -33,15 +33,18 @@ from __future__ import annotations
 # tile; beyond this the column-blocked kernel (ops/pallas_blocked.py)
 # streams the target through VMEM in c_blk-wide blocks.
 PALLAS_FLAT_MAX_N_PAD = 32768
-BLOCKED_C_BLK = 8192
+BLOCKED_C_BLK = 16384
 
 
 def blocked_c_blk() -> int:
     """Column-block width for the blocked streaming kernels: env
     ALIGNTOOLS_BLOCKED_CBLK, then the per-device calibrate table
     (``blocked_c_blk`` — measured by ``aligntools calibrate`` stage 9),
-    then the 8192 v5e default. Bucket n_pad snapping (batch._align_n)
-    reads the same function, so fills and bucket shapes always agree."""
+    then the 16384 v5e default — benchmarks/probe_blocked.py at fit+jump
+    8x(2048x131072): 5.0 / 9.2 / 14.8 GCUPS at c_blk 4096/8192/16384
+    (per-row block-edge fixed costs amortize with width; 32768 fails to
+    compile on v5e). Bucket n_pad snapping (batch._align_n) reads the
+    same function, so fills and bucket shapes always agree."""
     import os
 
     env = os.environ.get("ALIGNTOOLS_BLOCKED_CBLK")

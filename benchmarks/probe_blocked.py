@@ -82,10 +82,10 @@ def main():
         def run_k(K, qs, one=one):
             def body(k, carry):
                 acc, qs = carry
-                sc = one(qs)
-                return acc + sc, qs + (sc * 0).astype(qs.dtype)
+                sc = jnp.ravel(one(qs))
+                return acc + sc, qs + (sc * 0).astype(qs.dtype)[:, None]
             acc, _ = jax.lax.fori_loop(
-                0, K, body, (jnp.zeros((qs.shape[0], 1)), qs))
+                0, K, body, (jnp.zeros(qs.shape[0]), qs))
             return acc
 
         qs_d = jnp.asarray(qs)
