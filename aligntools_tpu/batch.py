@@ -780,10 +780,46 @@ def _rescan_bucket(mode, b, params, use_jump, pairs, sites_list, results,
         )
 
 
+@dataclasses.dataclass
+class _PendingRows:
+    """A dispatched (fill + device walk) awaiting collection."""
+
+    mode: str
+    b: _Bucket
+    handle: tuple  # device_tb.walk_dispatch handle
+    scores_dev: object  # lazy device score vector
+    bpairs: list
+
+
+def _collect_rows(p: _PendingRows, results, counters=None):
+    """Pull one dispatched bucket's scores + walked rows and scatter."""
+    from aligntools_tpu.engine import device_tb
+
+    t0 = time.perf_counter()
+    scores = np.asarray(p.scores_dev)  # syncs the fill
+    t0 = _tick(counters, "fill_seconds", t0)
+    if p.mode == "fit" and not np.all(
+        np.isfinite(scores[: len(p.b.idx)])
+    ):
+        raise RuntimeError(
+            "fit: no finite traceback start (reference UB)"
+        )
+    rows = device_tb.walk_collect(p.handle, p.bpairs)
+    for r, k in enumerate(p.b.idx):
+        results[k] = AlignResult(float(scores[r]), *rows[r])
+    _tick(counters, "walk_seconds", t0)
+
+
 def _bucket_rows(mode, b, params, use_jump, pairs, results, engine,
-                 counters=None):
+                 counters=None, pipeline_out=None):
     """Full-alignment path for one bucket (or budget slice): pointer-
-    emitting fill + batched walk, routed per engine/select.py."""
+    emitting fill + batched walk, routed per engine/select.py.
+
+    ``pipeline_out``: optional list — when the device-walk path applies,
+    the dispatched work is appended as a _PendingRows instead of being
+    collected synchronously, letting align_batch overlap consecutive
+    buckets' fills and walks (collection order is preserved by the
+    caller)."""
     route_pallas = engine != "xla" and (
         engine == "pallas"
         or _select.use_pallas(len(b.idx), b.m_pad, b.n_pad, mode)
@@ -847,50 +883,37 @@ def _bucket_rows(mode, b, params, use_jump, pairs, results, engine,
 
         # walk inputs padded to the fill's batch rung (the walk jit
         # specializes on B too); pad rows walk the sentinel DP's own
-        # pointers from (1, 1) and their rows are discarded below
+        # pointers from (1, 1) and their rows are discarded at scatter
         bpairs = [pairs[k] for k in b.idx]
         bpairs += [(b"A", b"C")] * (Bp - len(b.idx))
-        # ONE bulk device->host pull for score + start scalars (each
-        # np.asarray round-trips the tunnel at ~30 ms; per-element
-        # int(out[i][r]) would round-trip per pair)
-        nscal = 3 if mode in ("local", "fit") else 2
-        pulled = np.asarray(jnp.stack(
-            [o.astype(jnp.float32) for o in out[:nscal]]
-        ))
-        scores = pulled[0]
-        a1 = pulled[1]
+        # walk starts derived ON DEVICE from the fill outputs: the fill
+        # -> walk hop needs no host round trip, so consecutive buckets'
+        # fills and walks overlap on the device queue (align_batch
+        # windows the outstanding pointer tensors by the HBM budget)
+        msd = jnp.asarray(np.ascontiguousarray(m_np, np.int32))
         if mode == "global":
-            starts = [
-                (int(a1[r]), int(m_np[r]), int(n_np[r]))
-                for r in range(Bp)
-            ]
             # engine start codes 0/1/2 = L/M/U match walk states
+            dstarts = (out[1], msd, ns)
         elif mode == "local":
-            a2 = pulled[2]
-            starts = [(1, int(a1[r]), int(a2[r])) for r in range(Bp)]
+            dstarts = (jnp.ones(Bp, jnp.int32), out[1], out[2])
         elif mode == "fit":
-            a2 = pulled[2]
-            starts = [
-                (1 if int(a1[r]) == 0 else 0, int(m_np[r]), int(a2[r]))
-                for r in range(Bp)
-            ]
-        else:  # overlap
-            starts = [(0, int(m_np[r]), int(a1[r])) for r in range(Bp)]
-        if mode == "fit" and not np.all(
-            np.isfinite(scores[: len(b.idx)])
-        ):
-            raise RuntimeError(
-                "fit: no finite traceback start (reference UB)"
+            dstarts = (
+                jnp.where(out[1] == 0, 1, 0).astype(jnp.int32),
+                msd, out[2],
             )
-        t0 = _tick(counters, "fill_seconds", t0)
-        rows = device_tb.batch_traceback(
-            mode, out[-1], q_np, t_np, bpairs, starts,
+        else:  # overlap
+            dstarts = (jnp.zeros(Bp, jnp.int32), msd, out[1])
+        h = device_tb.walk_dispatch(
+            mode, out[-1], q_np, t_np, dstarts,
             col_base=1 if blk_chunk else 0, pack4=rpb,
             blk_chunk=blk_chunk,
         )
-        for r, k in enumerate(b.idx):
-            results[k] = AlignResult(float(scores[r]), *rows[r])
-        _tick(counters, "walk_seconds", t0)
+        pend = _PendingRows(mode, b, h, out[0], bpairs)
+        _tick(counters, "fill_seconds", t0)
+        if pipeline_out is not None:
+            pipeline_out.append(pend)
+            return
+        _collect_rows(pend, results, counters)
         return
     out = jax.tree.map(np.asarray, out)
     t0 = _tick(counters, "fill_seconds", t0)
@@ -988,15 +1011,38 @@ def align_batch(
                 )
         _tick(counters, "fill_seconds", tf)
         return results
+    # rows path: HBM budget router (see the block comment above) with a
+    # dispatch window — consecutive buckets' fills and device walks
+    # overlap on the device queue, bounded so the OUTSTANDING pointer
+    # tensors never exceed the budget
+    budget = int(_hbm_budget() * PTR_BUDGET_FRAC)
+    pending: list = []
+    pending_bytes: list = []
+
+    def _flush_one():
+        _collect_rows(pending.pop(0), results, counters)
+        pending_bytes.pop(0)
+
     for b in buckets.values():
-        # rows path: HBM budget router (see the block comment above)
-        budget = int(_hbm_budget() * PTR_BUDGET_FRAC)
         bytes_pp = _rows_ptr_bytes_pp(mode, b, use_jump, engine)
         cap = int(budget // bytes_pp)
         if cap == 0:
+            while pending:
+                _flush_one()
             _rescan_bucket(mode, b, params, use_jump, pairs, sites_list,
                            results, budget)
             continue
+
+        def _dispatch(sb):
+            est = bytes_pp * _pad_batch(len(sb.idx))
+            while pending and sum(pending_bytes) + est > budget:
+                _flush_one()
+            n0 = len(pending)
+            _bucket_rows(mode, sb, params, use_jump, pairs, results,
+                         engine, counters, pipeline_out=pending)
+            if len(pending) > n0:  # sync paths collect internally
+                pending_bytes.append(est)
+
         if _pad_batch(len(b.idx)) > cap:
             # equal-size slices (2 compiled batch shapes at most); the
             # fill allocates the batch RUNG, so size slices by it
@@ -1006,12 +1052,11 @@ def align_batch(
                 nsl += 1
                 step = -(-len(b.idx) // nsl)
             for lo in range(0, len(b.idx), step):
-                _bucket_rows(mode, _slice_bucket(b, lo, lo + step),
-                             params, use_jump, pairs, results, engine,
-                             counters)
+                _dispatch(_slice_bucket(b, lo, lo + step))
         else:
-            _bucket_rows(mode, b, params, use_jump, pairs, results,
-                         engine, counters)
+            _dispatch(b)
+    while pending:
+        _flush_one()
     return results
 
 

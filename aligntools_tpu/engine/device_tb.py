@@ -186,6 +186,122 @@ def _walk_overlap(n_steps, col_base, pause_at_i0, rpb, blk_chunk, ptrs,
     return cols1, cols2, count, fi, fj, done, err
 
 
+def walk_dispatch(mode, ptrs_dev, qs_np, ts_np, starts, col_base=0,
+                  pack4=False, blk_chunk=0):
+    """Dispatch the device walk WITHOUT any host round trip; returns an
+    opaque handle for :func:`walk_collect`.
+
+    ``starts`` is either the legacy list of per-pair (state0, i0, j0)
+    tuples or a 3-tuple of device/int32 arrays — the array form lets the
+    caller derive walk starts on device straight from the fill outputs,
+    so fill -> walk needs NO host sync and consecutive buckets' fills
+    and walks overlap on the device queue."""
+    if pack4 is True:
+        rpb = 2
+    elif not pack4:
+        rpb = 1
+    else:
+        rpb = int(pack4)
+        assert rpb in (1, 2, 4)
+    n_steps = int(qs_np.shape[1] + ts_np.shape[1] + 1)
+    qs_d = jnp.asarray(qs_np)
+    ts_d = jnp.asarray(ts_np)
+    if isinstance(starts, tuple) and len(starts) == 3:
+        state0, i0, j0 = (
+            jnp.asarray(s).astype(jnp.int32) for s in starts
+        )
+    else:
+        state0 = jnp.asarray([s[0] for s in starts], jnp.int32)
+        i0 = jnp.asarray([s[1] for s in starts], jnp.int32)
+        j0 = jnp.asarray([s[2] for s in starts], jnp.int32)
+    if mode == "overlap":
+        res = _walk_overlap(
+            n_steps, col_base, False, rpb, blk_chunk, ptrs_dev, qs_d,
+            ts_d, i0, j0
+        )
+        return ("overlap", res, None, None, None)
+    stop_j0 = mode != "fit"
+    if mode == "local":
+        rung = 256
+    else:
+        rung = 1 << (int(qs_np.shape[1]) + 64).bit_length()
+    seg2 = rung and n_steps > 2 * rung
+    first = rung if seg2 else n_steps
+    res = _walk_affine(
+        stop_j0, first, col_base, rpb == 2, mode == "local",
+        blk_chunk, ptrs_dev, qs_d, ts_d, state0, i0, j0,
+    )
+    cont = (
+        (n_steps - first, col_base, rpb, blk_chunk, ptrs_dev, qs_d,
+         ts_d)
+        if seg2 else None
+    )
+    return (mode, res, cont, stop_j0, None)
+
+
+def walk_collect(handle, pairs):
+    """Pull a dispatched walk's results and assemble the final rows on
+    the host (running the rare full-length second walk segment when some
+    pair was still mid-walk after the first; see batch_traceback)."""
+    mode, res, cont, stop_j0, _ = handle
+
+    def _pull(cols1_d, cols2_d, scalar_list):
+        both = np.asarray(jnp.stack([cols1_d, cols2_d]))
+        sc = np.asarray(
+            jnp.stack([s.astype(jnp.int32) for s in scalar_list])
+        )
+        return both[0], both[1], sc
+
+    if mode == "overlap":
+        c1d, c2d, count_d, _, _, _, err_d = res
+        cols1, cols2, sc = _pull(c1d, c2d, [count_d, err_d])
+        count, err = sc[0], sc[1].astype(bool)
+        fi = fj = None
+    else:
+        c1d, c2d, cnt_d, fi_d, fj_d, fst_d, err_d = res
+        cols1, cols2, sc = _pull(
+            c1d, c2d, [cnt_d, err_d, fi_d, fj_d, fst_d]
+        )
+        count, err = sc[0], sc[1].astype(bool)
+        fi, fj, fst = sc[2], sc[3], sc[4]
+        if cont is not None:
+            alive = (fst < _DONE) & (fi > 0)
+            if stop_j0:
+                alive = alive & (fj > 0)
+            if alive.any():
+                rest, col_base, rpb, blk_chunk, ptrs_dev, qs_d, ts_d = (
+                    cont
+                )
+                c1b, c2b, cnt2, fi2, fj2, _, err2 = _walk_affine(
+                    stop_j0, rest, col_base, rpb == 2,
+                    mode == "local", blk_chunk, ptrs_dev, qs_d, ts_d,
+                    fst_d, fi_d, fj_d,
+                )
+                b1, b2, sc2 = _pull(c1b, c2b, [cnt2, err2, fi2, fj2])
+                cols1 = np.concatenate([cols1, b1])
+                cols2 = np.concatenate([cols2, b2])
+                count = count + sc2[0]
+                err = err | sc2[1].astype(bool)
+                fi, fj = sc2[2], sc2[3]
+    out = []
+    for b in range(len(pairs)):
+        if err[b]:
+            raise RuntimeError(
+                "traceback hit unset pointer (reference UB) in pair "
+                f"{b}"
+            )
+        ln = int(count[b])
+        r1 = bytes(cols1[:ln, b][::-1])
+        r2 = bytes(cols2[:ln, b][::-1])
+        if mode == "global":
+            q, t = pairs[b]
+            i, j = int(fi[b]), int(fj[b])
+            r1 = q[:i] + b"-" * j + r1
+            r2 = b"-" * i + t[:j] + r2
+        out.append((r1, r2))
+    return out
+
+
 def batch_traceback(mode, ptrs_dev, qs_np, ts_np, pairs, starts,
                     col_base=0, pack4=False, blk_chunk=0):
     """Walk a whole bucket on-device; assemble final rows on the host.
@@ -203,101 +319,8 @@ def batch_traceback(mode, ptrs_dev, qs_np, ts_np, pairs, starts,
     without ever assembling it (pass col_base=1 — the blocks hold
     columns 1..nblk*chunk). Returns [(row1, row2)] per pair.
     """
-    # pack4 accepts the legacy bool (True = nibble) or rows_per_byte ints
-    if pack4 is True:
-        rpb = 2
-    elif not pack4:
-        rpb = 1
-    else:
-        rpb = int(pack4)
-        assert rpb in (1, 2, 4)
-    B = qs_np.shape[0]
-    n_steps = int(qs_np.shape[1] + ts_np.shape[1] + 1)
-    qs_d = jnp.asarray(qs_np)
-    ts_d = jnp.asarray(ts_np)
-
-    def _pull(cols1_d, cols2_d, scalar_list):
-        # pack device-side so the tunnel sees ONE bulk transfer for the
-        # char planes and one small one for the scalars (each
-        # np.asarray round-trip costs ~30-100 ms in this environment)
-        both = np.asarray(jnp.stack([cols1_d, cols2_d]))
-        sc = np.asarray(
-            jnp.stack([s.astype(jnp.int32) for s in scalar_list])
-        )
-        return both[0], both[1], sc
-
-    if mode == "overlap":
-        i0 = jnp.asarray([s[1] for s in starts], jnp.int32)
-        j0 = jnp.asarray([s[2] for s in starts], jnp.int32)
-        c1d, c2d, count_d, _, _, _, err_d = _walk_overlap(
-            n_steps, col_base, False, rpb, blk_chunk, ptrs_dev, qs_d,
-            ts_d, i0, j0
-        )
-        cols1, cols2, sc = _pull(c1d, c2d, [count_d, err_d])
-        count, err = sc[0], sc[1].astype(bool)
-        fi = fj = None
-    else:
-        state0 = jnp.asarray([s[0] for s in starts], jnp.int32)
-        i0 = jnp.asarray([s[1] for s in starts], jnp.int32)
-        j0 = jnp.asarray([s[2] for s in starts], jnp.int32)
-        stop_j0 = mode != "fit"
-        # Local/fit walks are usually far shorter than m_pad + n_pad
-        # (median tens of steps on read-length workloads — a local
-        # alignment of unrelated reads is a handful of columns; a fit
-        # walk is ~m plus a few gaps), and activity is a prefix: once a
-        # pair goes inactive it never resumes here. So walk a short
-        # first segment and pay the remainder only if some pair is
-        # still mid-walk; counts and char planes concatenate exactly.
-        if mode == "local":
-            rung = 256
-        else:  # fit: ~m rows plus slack for target-consuming gap runs
-            rung = 1 << (int(qs_np.shape[1]) + 64).bit_length()
-        seg2 = rung and n_steps > 2 * rung
-        first = rung if seg2 else n_steps
-        c1d, c2d, cnt_d, fi_d, fj_d, fst_d, err_d = _walk_affine(
-            stop_j0, first, col_base, rpb == 2, mode == "local",
-            blk_chunk, ptrs_dev, qs_d, ts_d, state0, i0, j0,
-        )
-        cols1, cols2, sc = _pull(
-            c1d, c2d, [cnt_d, err_d, fi_d, fj_d, fst_d]
-        )
-        count, err = sc[0], sc[1].astype(bool)
-        fi, fj, fst = sc[2], sc[3], sc[4]
-        if seg2:
-            alive = (fst < _DONE) & (fi > 0)
-            if stop_j0:
-                alive = alive & (fj > 0)
-            if alive.any():
-                c1b, c2b, cnt2, fi2, fj2, _, err2 = _walk_affine(
-                    stop_j0, n_steps - first, col_base, rpb == 2,
-                    mode == "local", blk_chunk, ptrs_dev, qs_d, ts_d,
-                    fst_d, fi_d, fj_d,
-                )
-                b1, b2, sc2 = _pull(c1b, c2b, [cnt2, err2, fi2, fj2])
-                cols1 = np.concatenate([cols1, b1])
-                cols2 = np.concatenate([cols2, b2])
-                count = count + sc2[0]
-                err = err | sc2[1].astype(bool)
-                fi, fj = sc2[2], sc2[3]
-    out = []
-    for b in range(B):
-        if err[b]:
-            raise RuntimeError(
-                "traceback hit unset pointer (reference UB) in pair "
-                f"{b}"
-            )
-        ln = int(count[b])
-        r1 = bytes(cols1[:ln, b][::-1])
-        r2 = bytes(cols2[:ln, b][::-1])
-        if mode == "global":
-            # epilogue: unconsumed prefixes padded with gaps, unscored
-            # (alignment.h:398-407) — cheap numpy slicing on the host
-            q, t = pairs[b]
-            i, j = int(fi[b]), int(fj[b])
-            # reference append order is epi_j then epi_i, all reversed at
-            # the end (alignment.h:398-411) => q-prefix, then gap run, then
-            # the walked suffix
-            r1 = q[:i] + b"-" * j + r1
-            r2 = b"-" * i + t[:j] + r2
-        out.append((r1, r2))
-    return out
+    return walk_collect(
+        walk_dispatch(mode, ptrs_dev, qs_np, ts_np, starts, col_base,
+                      pack4, blk_chunk),
+        pairs,
+    )

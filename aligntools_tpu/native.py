@@ -115,10 +115,11 @@ def parse_records_native(path: str, max_records: int = -1):
             else b""
         )
         meta = np.ctypeslib.as_array(lib.at_records_meta(h), shape=(nrec, 8))
+        # tolist() once: per-element numpy-scalar int() conversions are
+        # ~6x the cost of the slices themselves at millions of records
         out = []
-        for k in range(nrec):
-            (name_off, name_len, c_off, c_len, s_off, s_len, q_off,
-             q_len) = (int(x) for x in meta[k])
+        for (name_off, name_len, c_off, c_len, s_off, s_len, q_off,
+             q_len) in meta.tolist():
             out.append(
                 FastaRecord(
                     name=buf[name_off : name_off + name_len],

@@ -387,5 +387,21 @@ def pallas_ptr_fill(mode, use_jump, m_pad, n_pad, interpret,
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
+        **(
+            {}
+            if interpret
+            else {
+                # live set: ts/allow input blocks + ~8 (TILE_B, n_pad)
+                # f32/i32 rows + the 2x(TILE_B, SROW, n_pad) u8 DMA
+                # scratch; the Mosaic default 16 MiB scoped limit
+                # rejects n_pad 32768 by ~1.3 MiB (v5e has 128 MiB)
+                "compiler_params": pltpu.CompilerParams(
+                    vmem_limit_bytes=int(min(
+                        100 * 2**20,
+                        max(16 * 2**20, 48 * TILE_B * n_pad * 4),
+                    )),
+                ),
+            }
+        ),
     )(qs, ts, allow, ns, ms, params)
     return score[:, 0], a[:, 0], b[:, 0], ptrs

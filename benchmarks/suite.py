@@ -103,7 +103,7 @@ def bench_case(mode, engine, B, L, rng):
         ps = jnp.asarray(ps)
 
         def one(qs):
-            return ck.chunked_scores(mode, qs, ts, ns, ck.DEFAULT_CHUNK,
+            return ck.chunked_scores(mode, qs, ts, ns, ck.default_chunk(),
                                      params=ps, decaying_params=True)
     else:  # pallas
         ns = jnp.asarray(np.full((B, 1), L, np.int32))
@@ -160,7 +160,7 @@ def bench_fit_jump(engine, B, m, L, rng):
 
         def one(qs):
             return ck.chunked_fit_scores(True, qs, ts, allow_b, ns,
-                                         ck.DEFAULT_CHUNK, params=ps)
+                                         ck.default_chunk(), params=ps)
     else:
         ns = jnp.asarray(np.full((B, 1), L, np.int32))
         ms = jnp.asarray(np.full((B, 1), m, np.int32))
@@ -168,9 +168,12 @@ def bench_fit_jump(engine, B, m, L, rng):
         pm[0, :5] = [1, -2, -5, -1, -10]
         pm = jnp.asarray(pm)
         if engine == "blocked":
+            from aligntools_tpu.engine.select import blocked_c_blk
+            cb = blocked_c_blk()  # the production (calibrated) width
+
             def one(qs):
                 return blocked_scores(
-                    "fit", True, m, L, 8192, False, qs, ts, allow, ns, ms, pm
+                    "fit", True, m, L, cb, False, qs, ts, allow, ns, ms, pm
                 )
         else:
             from aligntools_tpu.engine.select import flat_tile_b
@@ -207,7 +210,17 @@ def bench_rows(mode, B, m, n, rng):
         t0 = time.perf_counter()
         res = align_batch(mode, pairs, p, traceback=True)
         best = min(best, time.perf_counter() - t0)
-    assert all(r.row1 for r in res)
+    # overlap alignments on random pairs are legitimately tiny or EMPTY
+    # (the reference's j=0 empty-alignment start), so assert correctness
+    # against the spec engine on a sample instead of non-emptiness
+    assert all(r is not None for r in res)
+    from aligntools_tpu.spec import engine as spec
+
+    spec_fn = {"global": spec.spec_global, "local": spec.spec_local,
+               "fit": spec.spec_fit, "overlap": spec.spec_overlap}[mode]
+    for k in (0, B // 2, B - 1):
+        want = spec_fn(pairs[k][0], pairs[k][1], p)
+        assert res[k].row1 == want.row1 and res[k].row2 == want.row2, k
     return B * m * n / best / 1e9, best, B / best
 
 
