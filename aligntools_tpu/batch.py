@@ -460,11 +460,15 @@ def _kernel_arrays(b, params: AlignParams, tile_b: int | None = None):
     # widen; these are the small-batch/short-target buckets)
     qs = np.full((Bp, b.m_pad), -1, np.int32)
     ts = np.full((Bp, b.n_pad), -2, np.int32)
+    # widen BEFORE the where: with uint8 inputs NumPy-2 weak promotion
+    # would fold the -1/-2 sentinels to 255/254 in a uint8 result
     qs[:B] = np.where(
-        np.arange(b.m_pad)[None, :] < b.m[:, None], b.q, -1
+        np.arange(b.m_pad)[None, :] < b.m[:, None],
+        b.q.astype(np.int32), -1,
     )
     ts[:B] = np.where(
-        np.arange(b.n_pad)[None, :] < b.n[:, None], b.t, -2
+        np.arange(b.n_pad)[None, :] < b.n[:, None],
+        b.t.astype(np.int32), -2,
     )
     ns = np.ones((Bp, 1), np.int32)
     ms = np.ones((Bp, 1), np.int32)
@@ -746,6 +750,7 @@ def _slice_bucket(b: _Bucket, lo: int, hi: int) -> _Bucket:
     )
     if b.allowed is not None:
         sub.allowed = b.allowed[lo:hi]
+    sub.alpha = b.alpha  # keep the 2-bit DNA transport on sliced buckets
     return sub
 
 
@@ -992,8 +997,11 @@ def align_batch(
         # trip costs ~30 ms through the tunnel, so per-bucket pulls
         # would add ~1 s per 32-bucket chunk
         if len(lazy) > 1:
+            # edit distances stay int32 in the concat: a float32 pull
+            # would round distances above 2^24
+            cdt = jnp.int32 if mode == "edit" else jnp.float32
             flat = np.asarray(jnp.concatenate(
-                [jnp.ravel(out).astype(jnp.float32) for _, out in lazy]
+                [jnp.ravel(out).astype(cdt) for _, out in lazy]
             ))
             off = 0
             allvals = []

@@ -221,10 +221,16 @@ def walk_dispatch(mode, ptrs_dev, qs_np, ts_np, starts, col_base=0,
         )
         return ("overlap", res, None, None, None)
     stop_j0 = mode != "fit"
-    if mode == "local":
-        rung = 256
+    if mode in ("global", "edit"):
+        # global walks consume BOTH sequences: length ~ max(m,n) ~
+        # n_steps, so a short first segment never finishes and only adds
+        # a second compile — run the full walk in one segment
+        rung = 0
     else:
-        rung = 1 << (int(qs_np.shape[1]) + 64).bit_length()
+        # local/fit paths live in m rows; gap runs are score-penalized,
+        # so walks are ~<= 2*m in practice — size the first segment to
+        # cover that, paying full n_steps only for pathological pairs
+        rung = 1 << (2 * int(qs_np.shape[1]) + 64).bit_length()
     seg2 = rung and n_steps > 2 * rung
     first = rung if seg2 else n_steps
     res = _walk_affine(

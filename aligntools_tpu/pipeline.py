@@ -206,10 +206,11 @@ def run_pipeline(
                         )
                     counters.pairs += 1
                     counters.cells += len(pairs[k][0]) * len(pairs[k][1])
-                if sharded:
+                if sharded and band is None:
                     # batch_scores_sharded doesn't thread counters; the
                     # unsharded paths account executed padded cells
-                    # (incl. batch-rung rows) inside align_batch
+                    # (incl. batch-rung rows) inside align_batch; banded
+                    # runs (checked first in compute()) account their own
                     from aligntools_tpu.batch import _bucket_keys
 
                     counters.padded_cells += sum(
