@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 import time
 from typing import Sequence
 
@@ -116,6 +117,28 @@ def _bucket_budget() -> int:
     return MAX_BUCKETS
 
 
+def _split_min_cells() -> int:
+    """Padded-cells threshold under which a bucket split LOSES wall time
+    on this backend: each extra bucket costs a fixed dispatch+transfer
+    overhead (~15 ms through the axon tunnel, benchmarks/probe_smallp.py)
+    that the split's padding savings must buy back at the device fill
+    rate (~90 GCUPS -> ~1.3e9 cells). Calibrated per device
+    (``aligntools calibrate`` key ``split_min_cells``); 0 off-TPU, where
+    dispatch costs microseconds and tests expect the structural
+    partition."""
+    env = os.environ.get("ALIGNTOOLS_SPLIT_MIN_CELLS")
+    if env is not None:
+        return int(env)
+    if not _on_tpu():
+        return 0
+    try:
+        from aligntools_tpu.engine.autotune import table
+
+        return int(table().get("split_min_cells", 1_300_000_000))
+    except Exception:
+        return 1_300_000_000
+
+
 def _pad_batch(B: int) -> int:
     """Compile-stable batch rung: B rounded up to a 1/16-octave grid
     (grain = 2^floor(log2 B)/16, worst-case 6.25% pad rows, ~3% mean).
@@ -201,9 +224,17 @@ def _align_n(x: int, n_floor: int) -> int:
     return b
 
 
-def _bucket_keys(pairs, m_floor, n_floor, max_buckets=None):
+def _bucket_keys(pairs, m_floor, n_floor, max_buckets=None,
+                 min_split_cells=0):
     """Per-pair (m_pad, n_pad) shape keys minimizing padded cells under
     a compile budget (greedy optimal-split partition).
+
+    ``min_split_cells``: stop splitting once the best split saves fewer
+    padded cells than this — the wall-time stop for SMALL workloads,
+    where each extra bucket costs a fixed dispatch/transfer overhead
+    that dwarfs the fill time its padding savings buy back (the
+    measured per-bucket overhead times the device fill rate; see
+    _split_min_cells). 0 keeps the pure padded-cells optimum.
 
     Start from ONE bucket at the workload max shape; repeatedly take the
     bucket split with the best global padded-cells saving — for each
@@ -267,7 +298,7 @@ def _bucket_keys(pairs, m_floor, n_floor, max_buckets=None):
                 cache[i] = best_split(buckets[i])
         i = max(range(len(buckets)), key=lambda i: cache[i][0])
         sav, sp = cache[i]
-        if sav <= 0:
+        if sav <= min_split_cells:
             break
         left, right = sp
         buckets[i], cache[i] = left, None
@@ -290,7 +321,8 @@ def _bucketize(pairs, sites_list, m_floor=64, n_floor=128, keys=None):
     fresh executable set) per chunk."""
     buckets: dict[tuple[int, int], _Bucket] = {}
     if keys is None:
-        keys = _bucket_keys(pairs, m_floor, n_floor)
+        keys = _bucket_keys(pairs, m_floor, n_floor,
+                            min_split_cells=_split_min_cells())
     for k, key in enumerate(keys):
         b = buckets.get(key)
         if b is None:
@@ -791,17 +823,21 @@ class _PendingRows:
 
     mode: str
     b: _Bucket
-    handle: tuple  # device_tb.walk_dispatch handle
-    scores_dev: object  # lazy device score vector
+    handle: tuple  # device_tb.walk_dispatch handle (scores ride extras)
     bpairs: list
 
 
 def _collect_rows(p: _PendingRows, results, counters=None):
-    """Pull one dispatched bucket's scores + walked rows and scatter."""
+    """Pull one dispatched bucket's scores + walked rows and scatter.
+
+    Two host round trips total: the fused scalar block (count/fi/fj/err
+    + the fill's scores, ONE f32 pull that also syncs the fill), then
+    the cols pull bounded by the longest actual walk."""
     from aligntools_tpu.engine import device_tb
 
     t0 = time.perf_counter()
-    scores = np.asarray(p.scores_dev)  # syncs the fill
+    scal = device_tb.walk_scalars(p.handle)
+    scores = scal[4][0]
     t0 = _tick(counters, "fill_seconds", t0)
     if p.mode == "fit" and not np.all(
         np.isfinite(scores[: len(p.b.idx)])
@@ -809,7 +845,7 @@ def _collect_rows(p: _PendingRows, results, counters=None):
         raise RuntimeError(
             "fit: no finite traceback start (reference UB)"
         )
-    rows = device_tb.walk_collect(p.handle, p.bpairs)
+    rows = device_tb.walk_rows(p.handle, scal, p.bpairs)
     for r, k in enumerate(p.b.idx):
         results[k] = AlignResult(float(scores[r]), *rows[r])
     _tick(counters, "walk_seconds", t0)
@@ -911,9 +947,9 @@ def _bucket_rows(mode, b, params, use_jump, pairs, results, engine,
         h = device_tb.walk_dispatch(
             mode, out[-1], q_np, t_np, dstarts,
             col_base=1 if blk_chunk else 0, pack4=rpb,
-            blk_chunk=blk_chunk,
+            blk_chunk=blk_chunk, extras=(out[0],),
         )
-        pend = _PendingRows(mode, b, h, out[0], bpairs)
+        pend = _PendingRows(mode, b, h, bpairs)
         _tick(counters, "fill_seconds", t0)
         if pipeline_out is not None:
             pipeline_out.append(pend)

@@ -8,7 +8,7 @@ Past it the carries spill to HBM every row step and throughput collapses
 fit flagship 64x(512x32768)).
 
 This engine restores the fused regime at any target length by filling
-the matrix in COLUMN CHUNKS of ``n_chunk`` (default 2048) columns: each
+the matrix in COLUMN CHUNKS of ``n_chunk`` (default 1024) columns: each
 chunk is a full ``lax.scan`` over rows with narrow (B, n_chunk) carries,
 and the only state crossing chunks is each row's right-edge values —
 (B, m_pad) arrays of the states with a horizontal/diagonal dependency:

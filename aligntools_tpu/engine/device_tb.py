@@ -61,15 +61,32 @@ def _walk_affine(stop_at_j0, n_steps, col_base, pack4, code3_home,
     pL/pU at bits 2/3, no jump state (ops/pallas_ptr.py docstring).
     Returns stacked (n_steps, B) char columns (walk order), per-pair
     emitted length, final (i, j), err flag.
+
+    A ``lax.while_loop`` that EXITS as soon as every pair has stopped:
+    walk lengths are data-dependent (local alignments of unrelated reads
+    are tens of steps; n_steps is m_pad + n_pad + 1), and the measured
+    per-step cost is ~4-20 us, so running the full scan length cost
+    3-5x more than the walks needed (benchmarks/probe_walk.py). Columns
+    are written through ``dynamic_update_slice`` into a preallocated
+    (n_steps, B) HBM buffer; unwritten rows stay zero, matching the old
+    scan's inactive-step emissions.
     """
     B = qs.shape[0]
     bidx = jnp.arange(B)
 
-    def step(carry, _):
-        i, j, state, count, err = carry
-        active = (state < _DONE) & (i > 0)
+    def _active(state, i, j):
+        a = (state < _DONE) & (i > 0)
         if stop_at_j0:
-            active = active & (j > 0)
+            a = a & (j > 0)
+        return a
+
+    def cond(carry):
+        k, i, j, state, count, err, c1, c2 = carry
+        return (k < n_steps) & jnp.any(_active(state, i, j))
+
+    def body(carry):
+        k, i, j, state, count, err, cols1, cols2 = carry
+        active = _active(state, i, j)
         row = jnp.maximum(i - 1, 0)
         jc = jnp.maximum(j - col_base, 0)
         if pack4:
@@ -120,17 +137,22 @@ def _walk_affine(stop_at_j0, n_steps, col_base, pack4, code3_home,
         # stop so the rescan engine can resume across row blocks
         state = jnp.where(active, nxt, state)
         count = count + active.astype(jnp.int32)
-        return (ni, nj, state, count, err), (c1, c2)
+        cols1 = jax.lax.dynamic_update_slice(cols1, c1[None], (k, 0))
+        cols2 = jax.lax.dynamic_update_slice(cols2, c2[None], (k, 0))
+        return (k + 1, ni, nj, state, count, err, cols1, cols2)
 
     init = (
+        jnp.int32(0),
         i0,
         j0,
         state0,
         jnp.zeros(B, jnp.int32),
         jnp.zeros(B, bool),
+        jnp.zeros((n_steps, B), jnp.uint8),
+        jnp.zeros((n_steps, B), jnp.uint8),
     )
-    (fi, fj, fstate, count, err), (cols1, cols2) = jax.lax.scan(
-        step, init, None, length=n_steps
+    _, fi, fj, fstate, count, err, cols1, cols2 = jax.lax.while_loop(
+        cond, body, init
     )
     return cols1, cols2, count, fi, fj, fstate, err
 
@@ -144,16 +166,26 @@ def _walk_overlap(n_steps, col_base, pause_at_i0, rpb, blk_chunk, ptrs,
     the walk simply stops emitting (the caller resumes in the row block
     above) instead of flagging the reference's i<=0 UB as an error.
     ``rpb``: DP rows per byte (1, 2, or 4; row rpb*k in the low bits).
-    ``blk_chunk``: chunked-engine raw block layout (_gather_byte)."""
+    ``blk_chunk``: chunked-engine raw block layout (_gather_byte).
+
+    Early-exiting ``lax.while_loop`` like :func:`_walk_affine`."""
     B = qs.shape[0]
     bidx = jnp.arange(B)
     bits = 8 // rpb
 
-    def step(carry, _):
-        i, j, done, count, err = carry
-        active = (~done) & (j > 0)
+    def _active(done, i, j):
+        a = (~done) & (j > 0)
         if pause_at_i0:
-            active = active & (i > 0)
+            a = a & (i > 0)
+        return a
+
+    def cond(carry):
+        k, i, j, done, count, err, c1, c2 = carry
+        return (k < n_steps) & jnp.any(_active(done, i, j))
+
+    def body(carry):
+        k, i, j, done, count, err, cols1, cols2 = carry
+        active = _active(done, i, j)
         row = jnp.maximum(i - 1, 0)
         jc = jnp.maximum(j - col_base, 0)
         if rpb > 1:
@@ -174,20 +206,27 @@ def _walk_overlap(n_steps, col_base, pause_at_i0, rpb, blk_chunk, ptrs,
         err = err | bad
         done = done | bad | (nj == 0)
         count = count + (active & ~bad).astype(jnp.int32)
-        return (ni, nj, done, count, err), (c1, c2)
+        cols1 = jax.lax.dynamic_update_slice(cols1, c1[None], (k, 0))
+        cols2 = jax.lax.dynamic_update_slice(cols2, c2[None], (k, 0))
+        return (k + 1, ni, nj, done, count, err, cols1, cols2)
 
     init = (
-        i0, j0, jnp.zeros(B, bool), jnp.zeros(B, jnp.int32),
-        jnp.zeros(B, bool),
+        # entering at j0 == 0 reports done=True (the old full-length
+        # scan picked this up from its first step's nj == 0; the rescan
+        # resume loop depends on it)
+        jnp.int32(0), i0, j0, j0 <= 0,
+        jnp.zeros(B, jnp.int32), jnp.zeros(B, bool),
+        jnp.zeros((n_steps, B), jnp.uint8),
+        jnp.zeros((n_steps, B), jnp.uint8),
     )
-    (fi, fj, done, count, err), (cols1, cols2) = jax.lax.scan(
-        step, init, None, length=n_steps
+    _, fi, fj, done, count, err, cols1, cols2 = jax.lax.while_loop(
+        cond, body, init
     )
     return cols1, cols2, count, fi, fj, done, err
 
 
 def walk_dispatch(mode, ptrs_dev, qs_np, ts_np, starts, col_base=0,
-                  pack4=False, blk_chunk=0):
+                  pack4=False, blk_chunk=0, extras=()):
     """Dispatch the device walk WITHOUT any host round trip; returns an
     opaque handle for :func:`walk_collect`.
 
@@ -195,7 +234,11 @@ def walk_dispatch(mode, ptrs_dev, qs_np, ts_np, starts, col_base=0,
     tuples or a 3-tuple of device/int32 arrays — the array form lets the
     caller derive walk starts on device straight from the fill outputs,
     so fill -> walk needs NO host sync and consecutive buckets' fills
-    and walks overlap on the device queue."""
+    and walks overlap on the device queue.
+
+    ``extras``: optional (B,)-shaped device vectors (e.g. the fill's
+    score output) folded into the walk's ONE fused scalar pull; they
+    come back from :func:`walk_scalars` as float32 np arrays."""
     if pack4 is True:
         rpb = 2
     elif not pack4:
@@ -215,80 +258,59 @@ def walk_dispatch(mode, ptrs_dev, qs_np, ts_np, starts, col_base=0,
         i0 = jnp.asarray([s[1] for s in starts], jnp.int32)
         j0 = jnp.asarray([s[2] for s in starts], jnp.int32)
     if mode == "overlap":
-        res = _walk_overlap(
+        c1d, c2d, cnt_d, fi_d, fj_d, _, err_d = _walk_overlap(
             n_steps, col_base, False, rpb, blk_chunk, ptrs_dev, qs_d,
             ts_d, i0, j0
         )
-        return ("overlap", res, None, None, None)
-    stop_j0 = mode != "fit"
-    if mode in ("global", "edit"):
-        # global walks consume BOTH sequences: length ~ max(m,n) ~
-        # n_steps, so a short first segment never finishes and only adds
-        # a second compile — run the full walk in one segment
-        rung = 0
     else:
-        # local/fit paths live in m rows; gap runs are score-penalized,
-        # so walks are ~<= 2*m in practice — size the first segment to
-        # cover that, paying full n_steps only for pathological pairs
-        rung = 1 << (2 * int(qs_np.shape[1]) + 64).bit_length()
-    seg2 = rung and n_steps > 2 * rung
-    first = rung if seg2 else n_steps
-    res = _walk_affine(
-        stop_j0, first, col_base, rpb == 2, mode == "local",
-        blk_chunk, ptrs_dev, qs_d, ts_d, state0, i0, j0,
-    )
-    cont = (
-        (n_steps - first, col_base, rpb, blk_chunk, ptrs_dev, qs_d,
-         ts_d)
-        if seg2 else None
-    )
-    return (mode, res, cont, stop_j0, None)
-
-
-def walk_collect(handle, pairs):
-    """Pull a dispatched walk's results and assemble the final rows on
-    the host (running the rare full-length second walk segment when some
-    pair was still mid-walk after the first; see batch_traceback)."""
-    mode, res, cont, stop_j0, _ = handle
-
-    def _pull(cols1_d, cols2_d, scalar_list):
-        both = np.asarray(jnp.stack([cols1_d, cols2_d]))
-        sc = np.asarray(
-            jnp.stack([s.astype(jnp.int32) for s in scalar_list])
+        c1d, c2d, cnt_d, fi_d, fj_d, _, err_d = _walk_affine(
+            mode != "fit", n_steps, col_base, rpb == 2,
+            mode == "local", blk_chunk, ptrs_dev, qs_d, ts_d, state0,
+            i0, j0,
         )
-        return both[0], both[1], sc
+    # ONE fused f32 scalar block per bucket: count/fi/fj/err plus the
+    # caller's extras (the fill's score vector) — every value is an int
+    # < 2^24 or a genuine f32, so the f32 stack is exact. Collapsing the
+    # scores/scalars pulls saves a ~30 ms tunnel round trip per bucket.
+    parts = [cnt_d, fi_d, fj_d, err_d] + list(extras)
+    scal_d = jnp.stack([jnp.asarray(p).astype(jnp.float32)
+                        for p in parts])
+    return (mode, scal_d, c1d, c2d, n_steps, len(extras))
 
-    if mode == "overlap":
-        c1d, c2d, count_d, _, _, _, err_d = res
-        cols1, cols2, sc = _pull(c1d, c2d, [count_d, err_d])
-        count, err = sc[0], sc[1].astype(bool)
-        fi = fj = None
-    else:
-        c1d, c2d, cnt_d, fi_d, fj_d, fst_d, err_d = res
-        cols1, cols2, sc = _pull(
-            c1d, c2d, [cnt_d, err_d, fi_d, fj_d, fst_d]
-        )
-        count, err = sc[0], sc[1].astype(bool)
-        fi, fj, fst = sc[2], sc[3], sc[4]
-        if cont is not None:
-            alive = (fst < _DONE) & (fi > 0)
-            if stop_j0:
-                alive = alive & (fj > 0)
-            if alive.any():
-                rest, col_base, rpb, blk_chunk, ptrs_dev, qs_d, ts_d = (
-                    cont
-                )
-                c1b, c2b, cnt2, fi2, fj2, _, err2 = _walk_affine(
-                    stop_j0, rest, col_base, rpb == 2,
-                    mode == "local", blk_chunk, ptrs_dev, qs_d, ts_d,
-                    fst_d, fi_d, fj_d,
-                )
-                b1, b2, sc2 = _pull(c1b, c2b, [cnt2, err2, fi2, fj2])
-                cols1 = np.concatenate([cols1, b1])
-                cols2 = np.concatenate([cols2, b2])
-                count = count + sc2[0]
-                err = err | sc2[1].astype(bool)
-                fi, fj = sc2[2], sc2[3]
+
+def walk_scalars(handle):
+    """Pull a dispatched walk's fused scalar block (ONE host round
+    trip): (count, fi, fj, err, [extras...]) as np arrays."""
+    mode, scal_d, _, _, _, n_extra = handle
+    sc = np.asarray(scal_d)
+    count = sc[0].astype(np.int32)
+    fi, fj = sc[1].astype(np.int32), sc[2].astype(np.int32)
+    err = sc[3].astype(bool)
+    return count, fi, fj, err, [sc[4 + e] for e in range(n_extra)]
+
+
+def _pull_rung(length: int, cap: int) -> int:
+    """Round a cols-pull length up to a power-of-2 rung (bounds the
+    slice-op compile count), capped at the buffer length."""
+    return min(cap, 1 << max(length, 64).bit_length())
+
+
+def walk_rows(handle, scalars, pairs):
+    """Pull the walked columns (bounded by the longest actual walk) and
+    assemble the final alignment rows on the host.
+
+    The (n_steps, B) device cols buffers are mostly zeros past
+    ``max(count)`` — walk lengths are data-dependent and usually far
+    below n_steps — and the tunnel pulls at ~0.02 GB/s, so slicing the
+    pull to a power-of-2 rung of the max walk length is the difference
+    between ~0.23 s and ~0.05 s per bucket (benchmarks/probe_walk.py).
+    """
+    mode, _, c1d, c2d, n_steps, _ = handle
+    count, fi, fj, err, _ = scalars
+    ln_max = int(count.max()) if len(count) else 0
+    rung = _pull_rung(ln_max, n_steps)
+    both = np.asarray(jnp.stack([c1d[:rung], c2d[:rung]]))
+    cols1, cols2 = both[0], both[1]
     out = []
     for b in range(len(pairs)):
         if err[b]:
@@ -330,3 +352,9 @@ def batch_traceback(mode, ptrs_dev, qs_np, ts_np, pairs, starts,
                       pack4, blk_chunk),
         pairs,
     )
+
+
+def walk_collect(handle, pairs):
+    """Pull a dispatched walk (scalars, then bounded cols) and assemble
+    the final rows; see :func:`walk_scalars` / :func:`walk_rows`."""
+    return walk_rows(handle, walk_scalars(handle), pairs)

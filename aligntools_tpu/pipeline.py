@@ -120,11 +120,17 @@ def run_pipeline(
     # collide across chunks too.
     global_keys = None
     if band is None and not sharded:
-        from aligntools_tpu.batch import _bucket_keys
+        from aligntools_tpu.batch import _bucket_keys, _split_min_cells
 
         with stopwatch(counters, "encode_seconds"):
+            # the wall-time split stop scales with the chunk count: an
+            # extra bucket shape costs one dispatch overhead PER CHUNK
+            # (the global partition is reused across chunks) while its
+            # padding savings are global
+            nchunks = max(1, -(-len(rec_pairs) // chunk_size))
             global_keys = _bucket_keys(
-                [(a.seq, b.seq) for a, b in rec_pairs], 64, 128
+                [(a.seq, b.seq) for a, b in rec_pairs], 64, 128,
+                min_split_cells=_split_min_cells() * nchunks,
             )
 
     def compute(ci, chunk):

@@ -227,6 +227,20 @@ def _run(backend: str, degraded: bool):
         bytes(rng.choice(alpha, m_pad).tolist()),
         bytes(rng.choice(alpha, n_pad).tolist()),
     )
+    # SAME-RUN VPU roofline (cross-session probes drift up to 2x through
+    # the tunnel): fraction = achieved op rate / measured f32 ceiling,
+    # at ~19 effective VPU ops per DP cell (docs/DESIGN.md §4)
+    roofline_tops = frac_roofline = None
+    if not cpu:
+        try:
+            sys.path.insert(0, os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "tools"))
+            from vpu_probe import roofline_ops_per_sec
+
+            roofline_tops = roofline_ops_per_sec("float32") / 1e12
+            frac_roofline = gcups * 1e9 * 19 / (roofline_tops * 1e12)
+        except Exception as err:
+            print(f"[bench] roofline probe failed: {err}", file=sys.stderr)
     # bucketing pad efficiency on a mixed-length synthetic workload
     # (length-clustered like real read sets: m ~ 300 +- 20%, n ~ 3000
     # +- 25%): true cells / padded cells under the quarter-octave
@@ -256,6 +270,10 @@ def _run(backend: str, degraded: bool):
         "fill_ms": round(per_fill * 1e3, 3),
         "engine": eng,
         "reference_gcups": round(ref_gcups, 4) if ref_gcups else None,
+        "roofline_f32_tops": round(roofline_tops, 3)
+        if roofline_tops else None,
+        "fraction_of_roofline": round(frac_roofline, 3)
+        if frac_roofline else None,
         "backend": jax.devices()[0].platform,
         "device": str(jax.devices()[0].device_kind),
     }

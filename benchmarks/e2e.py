@@ -89,9 +89,19 @@ def main():
     cells = synth_fasta(fa, P)
     gen_s = time.perf_counter() - t0
 
-    # cold run = compile + warm caches; the warm run is the number
+    # cold run = compile + warm caches; then best-of-N warm runs — the
+    # tunnel adds up to 2x run-to-run variance on rows runs (round-4
+    # e2e_rows.jsonl: 628-916 pairs/s at one config), so a single warm
+    # run is not a stable number. All warm walls are reported.
+    n_warm = 3 if rows else 1
     run_once(mode, fa, rows, chunk)
     c = run_once(mode, fa, rows, chunk)
+    warm_walls = [c.seconds]
+    for _ in range(n_warm - 1):
+        c2 = run_once(mode, fa, rows, chunk)
+        warm_walls.append(c2.seconds)
+        if c2.seconds < c.seconds:
+            c = c2
 
     device_rate = c.pairs / c.fill_seconds if c.fill_seconds else None
     rec = {
@@ -115,6 +125,7 @@ def main():
             c.fill_seconds / c.seconds, 3) if c.fill_seconds else None,
         "chunk": chunk,
         "synth_s": round(gen_s, 2),
+        "warm_walls_s": [round(w, 3) for w in warm_walls],
     }
     import jax
 

@@ -112,6 +112,55 @@ def vmem_ceiling(shape=(32, 1024), chain=2048):
             print(f"  {dtype:8s}: ERROR {str(err)[:140]}")
 
 
+def roofline_ops_per_sec(dtype="float32", shape=(64, 2048), chain=256,
+                         width=8):
+    """One dtype's saturated VPU op ceiling in op/s (see vpu_roofline).
+
+    Importable (bench.py calls this in the SAME session as its GCUPS
+    measurement so the headline can be reported as a fraction of a
+    same-run roofline — cross-session probes drift up to 2x through the
+    tunnel; DESIGN.md §4)."""
+    import functools as ft
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    dt = jnp.dtype(dtype)
+
+    def kern(a_ref, b_ref, out_ref):
+        a = a_ref[:, :]
+        b = b_ref[:, :]
+
+        def body(k, ys):
+            return tuple(jnp.maximum(y + a, b) - a for y in ys)
+
+        ys = jax.lax.fori_loop(
+            0, chain, body, tuple(b + i for i in range(width))
+        )
+        acc = ys[0]
+        for y in ys[1:]:
+            acc = acc + y
+        out_ref[:, :] = acc
+
+    @ft.partial(jax.jit, static_argnums=(0,))
+    def run_k(K, a, b):
+        def outer(k, carry):
+            r = pl.pallas_call(
+                kern,
+                out_shape=jax.ShapeDtypeStruct(shape, dt),
+                in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+                out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            )(carry, b)
+            return jnp.maximum(carry, r)
+
+        return jax.lax.fori_loop(0, K, outer, a)
+
+    a = jnp.asarray(np.ones(shape), dt)
+    b = jnp.asarray(np.zeros(shape), dt)
+    per = _amortized(lambda K: run_k(K, a, b))
+    return 3 * width * float(np.prod(shape)) * chain / per
+
+
 def vpu_roofline(shape=(64, 2048), chain=256, width=8):
     """Saturated VPU op ceiling: ``width`` INDEPENDENT max/add chains per
     loop iteration (ILP hides the loop-carried latency that bounds the
