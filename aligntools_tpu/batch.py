@@ -120,12 +120,16 @@ def _bucket_budget() -> int:
 def _split_min_cells() -> int:
     """Padded-cells threshold under which a bucket split LOSES wall time
     on this backend: each extra bucket costs a fixed dispatch+transfer
-    overhead (~15 ms through the axon tunnel, benchmarks/probe_smallp.py)
-    that the split's padding savings must buy back at the device fill
-    rate (~90 GCUPS -> ~1.3e9 cells). Calibrated per device
-    (``aligntools calibrate`` key ``split_min_cells``); 0 off-TPU, where
-    dispatch costs microseconds and tests expect the structural
-    partition."""
+    overhead (~17 ms through the axon tunnel, benchmarks/probe_smallp.py)
+    that the split's padding savings must buy back at the EFFECTIVE
+    pipeline fill rate (~6-12 GCUPS at these shapes — transfers, not
+    the 90-GCUPS kernel, bound it). Measured sweep (probe_smallp +
+    threshold grid): 1e8 is the small-P optimum (P=512: 632 -> 2,487
+    pairs/s) and leaves the >=20k-pair partitions essentially at the
+    structural optimum (27-32 shapes), where overlapped dispatch
+    amortizes the overhead. Calibrated per device (``aligntools
+    calibrate`` key ``split_min_cells``); 0 off-TPU, where dispatch
+    costs microseconds and tests expect the structural partition."""
     env = os.environ.get("ALIGNTOOLS_SPLIT_MIN_CELLS")
     if env is not None:
         return int(env)
@@ -134,9 +138,9 @@ def _split_min_cells() -> int:
     try:
         from aligntools_tpu.engine.autotune import table
 
-        return int(table().get("split_min_cells", 1_300_000_000))
+        return int(table().get("split_min_cells", 100_000_000))
     except Exception:
-        return 1_300_000_000
+        return 100_000_000
 
 
 def _pad_batch(B: int) -> int:
@@ -418,12 +422,25 @@ def _pack2(plane: np.ndarray, lut: np.ndarray) -> np.ndarray:
     )
 
 
-@jax.jit
-def _unpack_sentinelize(qp, tp, lut, ms, ns):
-    """Decode 2-bit packed char planes on device and sentinelize: the
-    transport is 0.25 bytes/char (the axon host link measures ~0.05
-    GB/s, so input bytes bound end-to-end throughput; DNA workloads get
-    4x over the uint8 path for one tiny fused gather)."""
+def _meta_split(meta):
+    """Device split of the fused f32 meta blob (B, 8) with columns
+    [m, n, match, mismatch, gap_open, gap_extend, jump, 0] into
+    (ms, ns, ps) — ps in the engines' (B, 6) layout with m in col 5.
+    Every value is an integer below 2^24, so the f32 transport is
+    exact (scores already flow as f32 through every engine)."""
+    ms = meta[:, 0].astype(jnp.int32)
+    ns = meta[:, 1].astype(jnp.int32)
+    ps = jnp.concatenate([meta[:, 2:7], meta[:, 0:1]], axis=1)
+    return ms, ns, ps
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _unpack_sentinelize(qlen4, chars, lut, meta):
+    """Decode the fused 2-bit packed char blob on device and
+    sentinelize: the transport is 0.25 bytes/char (the axon host link
+    measures ~0.05 GB/s, so input bytes bound end-to-end throughput; DNA
+    workloads get 4x over the uint8 path for one tiny fused gather)."""
+    ms, ns, ps = _meta_split(meta)
 
     def unpack(p):
         B, L4 = p.shape
@@ -431,32 +448,72 @@ def _unpack_sentinelize(qp, tp, lut, ms, ns):
         codes = (p[:, :, None] >> shifts[None, None, :]) & 3
         return codes.reshape(B, L4 * 4).astype(jnp.int32)
 
-    qc = jnp.take(lut.astype(jnp.int32), unpack(qp))
-    tc = jnp.take(lut.astype(jnp.int32), unpack(tp))
-    return _sentinelize(qc, tc, ms, ns)
+    qc = jnp.take(lut.astype(jnp.int32), unpack(chars[:, :qlen4]))
+    tc = jnp.take(lut.astype(jnp.int32), unpack(chars[:, qlen4:]))
+    qi, ti = _sentinelize(qc, tc, ms, ns)
+    return qi, ti, ns, ms, ps
 
 
-def _dev_inputs(q_np, t_np, m_np, n_np, alpha=None):
-    """Device int32 sentinel planes + ns from host uint8 planes: 1
-    byte/char over the link (0.25 with a <= 4-letter workload alphabet),
-    widened on device."""
-    ns = jnp.asarray(np.ascontiguousarray(n_np, np.int32))
-    ms = jnp.asarray(np.ascontiguousarray(m_np, np.int32))
+@functools.partial(jax.jit, static_argnums=(0,))
+def _widen_sentinelize(qlen, chars, meta):
+    """Fused uint8 char blob -> int32 sentinel planes + meta split."""
+    ms, ns, ps = _meta_split(meta)
+    qi, ti = _sentinelize(
+        chars[:, :qlen].astype(jnp.int32),
+        chars[:, qlen:].astype(jnp.int32), ms, ns,
+    )
+    return qi, ti, ns, ms, ps
+
+
+_ALPHA_DEV: dict = {}
+
+
+def _alpha_dev(alpha: np.ndarray):
+    """The workload alphabet LUT, uploaded once per process (it is
+    byte-identical across every bucket of a workload)."""
+    key = alpha.tobytes()
+    d = _ALPHA_DEV.get(key)
+    if d is None:
+        if len(_ALPHA_DEV) > 64:
+            _ALPHA_DEV.clear()
+        d = _ALPHA_DEV[key] = jnp.asarray(alpha)
+    return d
+
+
+def _dev_inputs(q_np, t_np, m_np, n_np, alpha=None,
+                params: AlignParams | None = None):
+    """Device (qi, ti, ns, ms, ps) from TWO host->device uploads: one
+    char blob (2-bit packed for <= 4-letter alphabets, else raw uint8;
+    q|t concatenated) and one fused f32 meta blob (_meta_split). Each
+    separate upload costs a ~30 ms tunnel round trip on top of its
+    bytes, so the former six uploads per bucket (q, t, alpha, ms, ns,
+    params) were pure dispatch-loop latency (~0.23 s/bucket measured;
+    the round-5 rows-path decomposition)."""
+    if params is None:
+        params = AlignParams()
+    B = len(q_np)
+    meta = np.zeros((B, 8), np.float32)
+    meta[:, 0] = m_np
+    meta[:, 1] = n_np
+    meta[:, 2:7] = [params.match, params.mismatch, params.gap_open,
+                    params.gap_extend, params.jump]
+    meta_d = jnp.asarray(meta)
     if (
         alpha is not None
         and q_np.shape[1] % 4 == 0
         and t_np.shape[1] % 4 == 0
     ):
-        qi, ti = _unpack_sentinelize(
-            jnp.asarray(_pack2(q_np, alpha)),
-            jnp.asarray(_pack2(t_np, alpha)),
-            jnp.asarray(alpha), ms, ns,
+        chars = np.concatenate(
+            [_pack2(q_np, alpha), _pack2(t_np, alpha)], axis=1
         )
-    else:
-        qi, ti = _sentinelize_dev(
-            jnp.asarray(q_np), jnp.asarray(t_np), ms, ns
+        return _unpack_sentinelize(
+            q_np.shape[1] // 4, jnp.asarray(chars), _alpha_dev(alpha),
+            meta_d,
         )
-    return qi, ti, ns
+    chars = np.concatenate(
+        [np.asarray(q_np, np.uint8), np.asarray(t_np, np.uint8)], axis=1
+    )
+    return _widen_sentinelize(q_np.shape[1], jnp.asarray(chars), meta_d)
 
 
 def _params_mat_np(p: AlignParams, ms: np.ndarray) -> np.ndarray:
@@ -522,8 +579,8 @@ def _chunked_bucket_scores(mode, b, params: AlignParams, use_jump: bool):
     from aligntools_tpu.engine import chunked as ck
 
     q_np, t_np, allowed_np, m_np, n_np = _pad_rows(b)
-    ps = _params_mat(params, m_np)
-    qs, ts, ns = _dev_inputs(q_np, t_np, m_np, n_np, b.alpha)
+    qs, ts, ns, _, ps = _dev_inputs(q_np, t_np, m_np, n_np, b.alpha,
+                                    params)
     if mode == "fit":
         allowed = jnp.asarray(
             allowed_np
@@ -688,8 +745,10 @@ def _pallas_bucket_full(mode, b, params, use_jump, pairs, results,
     t0 = _tick(counters, "fill_seconds", t0)
     bpairs = [pairs[k] for k in b.idx]
     bpairs += [(b"A", b"C")] * (Bp - B)
+    # args[0]/args[1] are the fill's device-resident char planes —
+    # reusing them spares re-uploading the 4-byte int32 host planes
     rows = device_tb.batch_traceback(
-        mode, ptrs, qs_np, ts_np, bpairs, starts, col_base=1,
+        mode, ptrs, args[0], args[1], bpairs, starts, col_base=1,
         pack4=pack,
     )
     for r, k in enumerate(b.idx):
@@ -827,27 +886,33 @@ class _PendingRows:
     bpairs: list
 
 
-def _collect_rows(p: _PendingRows, results, counters=None):
-    """Pull one dispatched bucket's scores + walked rows and scatter.
-
-    Two host round trips total: the fused scalar block (count/fi/fj/err
-    + the fill's scores, ONE f32 pull that also syncs the fill), then
-    the cols pull bounded by the longest actual walk."""
+def _collect_rows_wave(pends: list, results, counters=None):
+    """Collect a WAVE of dispatched buckets in two host round trips
+    total: one concatenated fused scalar pull (count/fi/fj/err + the
+    fills' scores — also syncs the fills), then one concatenated cols
+    pull, each bucket's slice bounded by its longest actual walk.
+    Per-bucket pulls would cost ~60 ms of tunnel latency EACH."""
+    if not pends:
+        return
     from aligntools_tpu.engine import device_tb
 
     t0 = time.perf_counter()
-    scal = device_tb.walk_scalars(p.handle)
-    scores = scal[4][0]
+    scals = device_tb.walk_scalars_many([p.handle for p in pends])
     t0 = _tick(counters, "fill_seconds", t0)
-    if p.mode == "fit" and not np.all(
-        np.isfinite(scores[: len(p.b.idx)])
-    ):
-        raise RuntimeError(
-            "fit: no finite traceback start (reference UB)"
-        )
-    rows = device_tb.walk_rows(p.handle, scal, p.bpairs)
-    for r, k in enumerate(p.b.idx):
-        results[k] = AlignResult(float(scores[r]), *rows[r])
+    for p, scal in zip(pends, scals):
+        if p.mode == "fit" and not np.all(
+            np.isfinite(scal[4][0][: len(p.b.idx)])
+        ):
+            raise RuntimeError(
+                "fit: no finite traceback start (reference UB)"
+            )
+    rows_list = device_tb.walk_rows_many(
+        [p.handle for p in pends], scals, [p.bpairs for p in pends]
+    )
+    for p, scal, rows in zip(pends, scals, rows_list):
+        scores = scal[4][0]
+        for r, k in enumerate(p.b.idx):
+            results[k] = AlignResult(float(scores[r]), *rows[r])
     _tick(counters, "walk_seconds", t0)
 
 
@@ -873,7 +938,6 @@ def _bucket_rows(mode, b, params, use_jump, pairs, results, engine,
     q_np, t_np, allowed_np, m_np, n_np = _pad_rows(b)
     Bp = len(q_np)
     _acct(counters, Bp, b)
-    ps = _params_mat(params, m_np)
     # Full-alignment fills in the chunked engine's regime ride its faster
     # fill too — the pointer variants return the exact vmapped fill
     # tuples (bit-identical starts; packed bytes walk identically,
@@ -882,6 +946,7 @@ def _bucket_rows(mode, b, params, use_jump, pairs, results, engine,
         len(b.idx), b.n_pad
     )
     rpb, blk_chunk = 1, 0
+    msd = None
     if chunked_full:
         from aligntools_tpu.engine import chunked as ck
 
@@ -889,10 +954,12 @@ def _bucket_rows(mode, b, params, use_jump, pairs, results, engine,
         if rpb > 1:
             blk_chunk = ck.pick_chunk(b.n_pad, ck.default_chunk())[1]
         # chunked fills take the int32 sentinel planes (widened on
-        # device from the uint8 transport)
-        qs, ts, ns = _dev_inputs(q_np, t_np, m_np, n_np, b.alpha)
+        # device from the fused two-upload transport)
+        qs, ts, ns, msd, ps = _dev_inputs(q_np, t_np, m_np, n_np,
+                                          b.alpha, params)
     else:
         # the vmap fills widen inside their own jit
+        ps = _params_mat(params, m_np)
         ns = jnp.asarray(np.ascontiguousarray(n_np, np.int32))
         qs, ts = jnp.asarray(q_np), jnp.asarray(t_np)
     if mode == "fit":
@@ -931,7 +998,8 @@ def _bucket_rows(mode, b, params, use_jump, pairs, results, engine,
         # -> walk hop needs no host round trip, so consecutive buckets'
         # fills and walks overlap on the device queue (align_batch
         # windows the outstanding pointer tensors by the HBM budget)
-        msd = jnp.asarray(np.ascontiguousarray(m_np, np.int32))
+        if msd is None:  # chunked path derives it from the meta blob
+            msd = jnp.asarray(np.ascontiguousarray(m_np, np.int32))
         if mode == "global":
             # engine start codes 0/1/2 = L/M/U match walk states
             dstarts = (out[1], msd, ns)
@@ -944,8 +1012,12 @@ def _bucket_rows(mode, b, params, use_jump, pairs, results, engine,
             )
         else:  # overlap
             dstarts = (jnp.zeros(Bp, jnp.int32), msd, out[1])
+        # the walk reads chars from the fill's DEVICE-resident planes
+        # (qs/ts) — re-uploading the host planes would double the h2d
+        # bytes through the 0.05 GB/s link (measured ~0.7 s per 8k-pair
+        # chunk before this reuse)
         h = device_tb.walk_dispatch(
-            mode, out[-1], q_np, t_np, dstarts,
+            mode, out[-1], qs, ts, dstarts,
             col_base=1 if blk_chunk else 0, pack4=rpb,
             blk_chunk=blk_chunk, extras=(out[0],),
         )
@@ -954,7 +1026,7 @@ def _bucket_rows(mode, b, params, use_jump, pairs, results, engine,
         if pipeline_out is not None:
             pipeline_out.append(pend)
             return
-        _collect_rows(pend, results, counters)
+        _collect_rows_wave([pend], results, counters)
         return
     out = jax.tree.map(np.asarray, out)
     t0 = _tick(counters, "fill_seconds", t0)
@@ -1063,24 +1135,27 @@ def align_batch(
     pending: list = []
     pending_bytes: list = []
 
-    def _flush_one():
-        _collect_rows(pending.pop(0), results, counters)
-        pending_bytes.pop(0)
+    def _flush_all():
+        # wave collection: 2 round trips for the whole window (all the
+        # window's fills+walks were already dispatched, so freeing
+        # everything costs no recompute)
+        _collect_rows_wave(pending, results, counters)
+        pending.clear()
+        pending_bytes.clear()
 
     for b in buckets.values():
         bytes_pp = _rows_ptr_bytes_pp(mode, b, use_jump, engine)
         cap = int(budget // bytes_pp)
         if cap == 0:
-            while pending:
-                _flush_one()
+            _flush_all()
             _rescan_bucket(mode, b, params, use_jump, pairs, sites_list,
                            results, budget)
             continue
 
         def _dispatch(sb):
             est = bytes_pp * _pad_batch(len(sb.idx))
-            while pending and sum(pending_bytes) + est > budget:
-                _flush_one()
+            if pending and sum(pending_bytes) + est > budget:
+                _flush_all()
             n0 = len(pending)
             _bucket_rows(mode, sb, params, use_jump, pairs, results,
                          engine, counters, pipeline_out=pending)
@@ -1099,8 +1174,7 @@ def align_batch(
                 _dispatch(_slice_bucket(b, lo, lo + step))
         else:
             _dispatch(b)
-    while pending:
-        _flush_one()
+    _flush_all()
     return results
 
 

@@ -323,7 +323,40 @@ def _run_probe_spec(spec: str) -> dict:
     if f[0] == "flatlong":
         return {"s": _bench_flat_tile(int(f[1]), batch=int(f[2]),
                                       n_pad=int(f[3]))}
+    if f[0] == "splitmin":
+        return {"s": _bench_splitmin(int(f[1]), int(f[2]))}
     raise ValueError(f"unknown probe spec {spec!r}")
+
+
+def _bench_splitmin(P: int, thr: int) -> float:
+    """Warm wall of the production batch_scores path at small P on the
+    clustered read workload under one split-stop threshold (the
+    small-workload latency-floor knob; batch._split_min_cells)."""
+    import time as _t
+
+    import numpy as _np
+
+    from aligntools_tpu.batch import _bucket_keys, batch_scores
+    from aligntools_tpu.params import AlignParams
+
+    rng = _np.random.default_rng(7)
+    alpha = list(b"ACGT")
+    ms = _np.exp(rng.normal(_np.log(300), 0.2, P)).astype(int)
+    ns = _np.exp(rng.normal(_np.log(3000), 0.25, P)).astype(int)
+    pairs = [
+        (bytes(rng.choice(alpha, max(1, int(a))).tolist()),
+         bytes(rng.choice(alpha, max(1, int(b))).tolist()))
+        for a, b in zip(ms, ns)
+    ]
+    keys = _bucket_keys(pairs, 64, 128, min_split_cells=thr)
+    p = AlignParams()
+    batch_scores("local", pairs, p, keys=keys)  # compile + warm
+    best = float("inf")
+    for _ in range(3):
+        t0 = _t.perf_counter()
+        batch_scores("local", pairs, p, keys=keys)
+        best = min(best, _t.perf_counter() - t0)
+    return best
 
 
 def _probe(spec: str, env_extra: dict | None = None, log=print):
@@ -554,6 +587,22 @@ def calibrate(force: bool = False, log=print) -> dict:
         result["blocked_c_blk"] = int(min(cb_ms, key=cb_ms.get))
     else:
         log("  blocked c_blk calibration failed; keeping default 8192")
+    #    small-workload split stop (batch._split_min_cells): warm
+    #    batch_scores wall at P=512 over a threshold grid
+    sm_ms = {}
+    for thr in (0, 50_000_000, 100_000_000, 200_000_000):
+        d = _probe(f"splitmin:512:{thr}", log=log)
+        if d is None:
+            continue
+        sm_ms[thr] = d["s"]
+        log(f"  split_min_cells {thr:>11d} @P=512: {d['s']*1e3:8.2f} ms")
+    if sm_ms:
+        result["measured"]["split_min_cells"] = {
+            str(k): v for k, v in sm_ms.items()
+        }
+        result["split_min_cells"] = int(min(sm_ms, key=sm_ms.get))
+    else:
+        log("  split_min_cells calibration failed; keeping default 1e8")
     os.makedirs(os.path.dirname(path), exist_ok=True)
     tmp = path + ".tmp"
     with open(tmp, "w") as f:

@@ -230,6 +230,12 @@ def walk_dispatch(mode, ptrs_dev, qs_np, ts_np, starts, col_base=0,
     """Dispatch the device walk WITHOUT any host round trip; returns an
     opaque handle for :func:`walk_collect`.
 
+    ``qs_np``/``ts_np`` may be host planes OR the fill's device-resident
+    char planes (uint8 or int32-sentinel) — passing the device arrays
+    avoids re-uploading the sequences through the slow host link; the
+    walk only reads true-position chars, which are identical in every
+    layout.
+
     ``starts`` is either the legacy list of per-pair (state0, i0, j0)
     tuples or a 3-tuple of device/int32 arrays — the array form lets the
     caller derive walk starts on device straight from the fill outputs,
@@ -310,7 +316,13 @@ def walk_rows(handle, scalars, pairs):
     ln_max = int(count.max()) if len(count) else 0
     rung = _pull_rung(ln_max, n_steps)
     both = np.asarray(jnp.stack([c1d[:rung], c2d[:rung]]))
-    cols1, cols2 = both[0], both[1]
+    return _assemble(mode, both[0], both[1], scalars, pairs)
+
+
+def _assemble(mode, cols1, cols2, scalars, pairs):
+    """Host row assembly from pulled walk columns: reverse, trim to each
+    pair's walk length, apply the per-mode epilogue."""
+    count, fi, fj, err, _ = scalars
     out = []
     for b in range(len(pairs)):
         if err[b]:
@@ -327,6 +339,52 @@ def walk_rows(handle, scalars, pairs):
             r1 = q[:i] + b"-" * j + r1
             r2 = b"-" * i + t[:j] + r2
         out.append((r1, r2))
+    return out
+
+
+def walk_scalars_many(handles):
+    """Fused scalar blocks for MANY dispatched walks in ONE host round
+    trip (a flush wave's worth of buckets — each separate np.asarray
+    pull costs ~30 ms through the tunnel)."""
+    if len(handles) == 1:
+        return [walk_scalars(handles[0])]
+    flat = np.asarray(jnp.concatenate(
+        [jnp.ravel(h[1]) for h in handles]
+    ))
+    out, off = [], 0
+    for h in handles:
+        rows, B = h[1].shape
+        sc = flat[off : off + rows * B].reshape(rows, B)
+        off += rows * B
+        out.append((
+            sc[0].astype(np.int32), sc[1].astype(np.int32),
+            sc[2].astype(np.int32), sc[3].astype(bool),
+            [sc[4 + e] for e in range(h[5])],
+        ))
+    return out
+
+
+def walk_rows_many(handles, scalars_list, pairs_list):
+    """Bounded cols pulls for MANY dispatched walks in ONE host round
+    trip, then per-bucket host assembly; see walk_rows."""
+    if len(handles) == 1:
+        return [walk_rows(handles[0], scalars_list[0], pairs_list[0])]
+    slices, shapes = [], []
+    for h, scal in zip(handles, scalars_list):
+        _, _, c1d, c2d, n_steps, _ = h
+        count = scal[0]
+        ln_max = int(count.max()) if len(count) else 0
+        rung = _pull_rung(ln_max, n_steps)
+        slices.append(jnp.ravel(jnp.stack([c1d[:rung], c2d[:rung]])))
+        shapes.append((rung, c1d.shape[1]))
+    flat = np.asarray(jnp.concatenate(slices))
+    out, off = [], 0
+    for h, scal, pairs, (rung, B) in zip(
+        handles, scalars_list, pairs_list, shapes
+    ):
+        both = flat[off : off + 2 * rung * B].reshape(2, rung, B)
+        off += 2 * rung * B
+        out.append(_assemble(h[0], both[0], both[1], scal, pairs))
     return out
 
 

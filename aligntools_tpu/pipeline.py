@@ -123,14 +123,15 @@ def run_pipeline(
         from aligntools_tpu.batch import _bucket_keys, _split_min_cells
 
         with stopwatch(counters, "encode_seconds"):
-            # the wall-time split stop scales with the chunk count: an
-            # extra bucket shape costs one dispatch overhead PER CHUNK
-            # (the global partition is reused across chunks) while its
-            # padding savings are global
-            nchunks = max(1, -(-len(rec_pairs) // chunk_size))
+            # small-workload wall-time stop only: at multi-chunk scale
+            # the prefetch thread and async dispatch amortize per-bucket
+            # overhead, and scaling the threshold up was MEASURED to
+            # regress the 100k run (padding transfers cost more than the
+            # saved dispatches) — the flat threshold self-limits there
+            # because large workloads' splits save far more cells
             global_keys = _bucket_keys(
                 [(a.seq, b.seq) for a, b in rec_pairs], 64, 128,
-                min_split_cells=_split_min_cells() * nchunks,
+                min_split_cells=_split_min_cells(),
             )
 
     def compute(ci, chunk):

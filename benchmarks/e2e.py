@@ -93,7 +93,7 @@ def main():
     # tunnel adds up to 2x run-to-run variance on rows runs (round-4
     # e2e_rows.jsonl: 628-916 pairs/s at one config), so a single warm
     # run is not a stable number. All warm walls are reported.
-    n_warm = 3 if rows else 1
+    n_warm = 3 if rows else 2
     run_once(mode, fa, rows, chunk)
     c = run_once(mode, fa, rows, chunk)
     warm_walls = [c.seconds]

@@ -482,6 +482,12 @@ def main():
             "runs); clustered cases count TRUE cells (not padded) through "
             "the production bucketizer — both use effective GCUPS.",
             "",
+            "Clustered small-P rows (P <= 2048) are the LATENCY-FLOOR "
+            "regime: wall is per-call fixed cost (host round trips, "
+            "per-bucket dispatch ~17 ms; benchmarks/probe_smallp.py), "
+            "not fill throughput — their effective GCUPS is not "
+            "comparable to the fixed-shape rows above.",
+            "",
             "| case | engine | GCUPS | fill ms | ref x | pairs/s |",
             "|---|---|---|---|---|---|",
         ]
@@ -494,8 +500,18 @@ def main():
             )
         out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "RESULTS.md")
+        # preserve the trailing "## " sections (end-to-end pipeline,
+        # serve mode, narrative) other benchmarks maintain — this writer
+        # owns only the head table
+        tail = ""
+        if os.path.exists(out):
+            with open(out) as f:
+                old = f.read()
+            k = old.find("\n## ")
+            if k >= 0:
+                tail = old[k:]
         with open(out, "w") as f:
-            f.write("\n".join(lines) + "\n")
+            f.write("\n".join(lines) + "\n" + tail)
 
 
 if __name__ == "__main__":

@@ -333,13 +333,14 @@ def test_packed_transport_matches_uint8():
             want_q, want_t = ab._sentinelize_dev(
                 jnp.asarray(q_np), jnp.asarray(t_np), ms, ns
             )
-            got_q, got_t = ab._unpack_sentinelize(
-                jnp.asarray(ab._pack2(q_np, b.alpha)),
-                jnp.asarray(ab._pack2(t_np, b.alpha)),
-                jnp.asarray(b.alpha), ms, ns,
+            # the packed transport path (2-bit blob + fused meta blob)
+            got_q, got_t, got_ns, got_ms, _ = ab._dev_inputs(
+                q_np, t_np, m_np, n_np, b.alpha
             )
             assert np.array_equal(np.asarray(got_q), np.asarray(want_q))
             assert np.array_equal(np.asarray(got_t), np.asarray(want_t))
+            assert np.array_equal(np.asarray(got_ns), n_np)
+            assert np.array_equal(np.asarray(got_ms), m_np)
     # > 4 distinct chars: transport must fall back (no alpha)
     pairs = [(bytes(range(10)), bytes(range(10, 30)))]
     buckets = ab._bucketize(pairs, None)
