@@ -422,12 +422,18 @@ def _pack2(plane: np.ndarray, lut: np.ndarray) -> np.ndarray:
     )
 
 
-def _meta_split(meta):
-    """Device split of the fused f32 meta blob (B, 8) with columns
-    [m, n, match, mismatch, gap_open, gap_extend, jump, 0] into
-    (ms, ns, ps) — ps in the engines' (B, 6) layout with m in col 5.
-    Every value is an integer below 2^24, so the f32 transport is
-    exact (scores already flow as f32 through every engine)."""
+def _meta_split(blob):
+    """Device decode of the meta bytes riding the LAST 32 columns of the
+    fused upload blob: bitcast back to the f32 (B, 8) matrix with
+    columns [m, n, match, mismatch, gap_open, gap_extend, jump, 0],
+    split into (ms, ns, ps) — ps in the engines' (B, 6) layout with m
+    in col 5. Every value is an integer below 2^24, so the f32
+    transport is exact (scores already flow as f32 through every
+    engine)."""
+    B = blob.shape[0]
+    meta = jax.lax.bitcast_convert_type(
+        blob[:, -32:].reshape(B, 8, 4), jnp.float32
+    )
     ms = meta[:, 0].astype(jnp.int32)
     ns = meta[:, 1].astype(jnp.int32)
     ps = jnp.concatenate([meta[:, 2:7], meta[:, 0:1]], axis=1)
@@ -435,12 +441,13 @@ def _meta_split(meta):
 
 
 @functools.partial(jax.jit, static_argnums=(0,))
-def _unpack_sentinelize(qlen4, chars, lut, meta):
-    """Decode the fused 2-bit packed char blob on device and
-    sentinelize: the transport is 0.25 bytes/char (the axon host link
-    measures ~0.05 GB/s, so input bytes bound end-to-end throughput; DNA
-    workloads get 4x over the uint8 path for one tiny fused gather)."""
-    ms, ns, ps = _meta_split(meta)
+def _unpack_sentinelize(qlen4, blob, lut):
+    """Decode the fused upload blob (2-bit packed q | 2-bit packed t |
+    meta bytes) on device and sentinelize: the char transport is 0.25
+    bytes/char (the axon host link measures ~0.05 GB/s, so input bytes
+    bound end-to-end throughput; DNA workloads get 4x over the uint8
+    path for one tiny fused gather)."""
+    ms, ns, ps = _meta_split(blob)
 
     def unpack(p):
         B, L4 = p.shape
@@ -448,19 +455,20 @@ def _unpack_sentinelize(qlen4, chars, lut, meta):
         codes = (p[:, :, None] >> shifts[None, None, :]) & 3
         return codes.reshape(B, L4 * 4).astype(jnp.int32)
 
-    qc = jnp.take(lut.astype(jnp.int32), unpack(chars[:, :qlen4]))
-    tc = jnp.take(lut.astype(jnp.int32), unpack(chars[:, qlen4:]))
+    qc = jnp.take(lut.astype(jnp.int32), unpack(blob[:, :qlen4]))
+    tc = jnp.take(lut.astype(jnp.int32), unpack(blob[:, qlen4:-32]))
     qi, ti = _sentinelize(qc, tc, ms, ns)
     return qi, ti, ns, ms, ps
 
 
 @functools.partial(jax.jit, static_argnums=(0,))
-def _widen_sentinelize(qlen, chars, meta):
-    """Fused uint8 char blob -> int32 sentinel planes + meta split."""
-    ms, ns, ps = _meta_split(meta)
+def _widen_sentinelize(qlen, blob):
+    """Fused uint8 blob (q | t | meta bytes) -> int32 sentinel planes +
+    meta split."""
+    ms, ns, ps = _meta_split(blob)
     qi, ti = _sentinelize(
-        chars[:, :qlen].astype(jnp.int32),
-        chars[:, qlen:].astype(jnp.int32), ms, ns,
+        blob[:, :qlen].astype(jnp.int32),
+        blob[:, qlen:-32].astype(jnp.int32), ms, ns,
     )
     return qi, ti, ns, ms, ps
 
@@ -482,13 +490,13 @@ def _alpha_dev(alpha: np.ndarray):
 
 def _dev_inputs(q_np, t_np, m_np, n_np, alpha=None,
                 params: AlignParams | None = None):
-    """Device (qi, ti, ns, ms, ps) from TWO host->device uploads: one
-    char blob (2-bit packed for <= 4-letter alphabets, else raw uint8;
-    q|t concatenated) and one fused f32 meta blob (_meta_split). Each
-    separate upload costs a ~30 ms tunnel round trip on top of its
-    bytes, so the former six uploads per bucket (q, t, alpha, ms, ns,
-    params) were pure dispatch-loop latency (~0.23 s/bucket measured;
-    the round-5 rows-path decomposition)."""
+    """Device (qi, ti, ns, ms, ps) from ONE host->device upload: a uint8
+    blob of [chars (2-bit packed for <= 4-letter alphabets, else raw) |
+    f32 meta bytes] decoded on device (_meta_split bitcasts the meta
+    tail back to f32). Each separate upload costs a ~30 ms tunnel round
+    trip on top of its bytes, so the former six uploads per bucket
+    (q, t, alpha, ms, ns, params) were pure dispatch-loop latency
+    (~0.23 s/bucket measured; the round-5 rows-path decomposition)."""
     if params is None:
         params = AlignParams()
     B = len(q_np)
@@ -497,23 +505,23 @@ def _dev_inputs(q_np, t_np, m_np, n_np, alpha=None,
     meta[:, 1] = n_np
     meta[:, 2:7] = [params.match, params.mismatch, params.gap_open,
                     params.gap_extend, params.jump]
-    meta_d = jnp.asarray(meta)
+    meta_u8 = np.ascontiguousarray(meta).view(np.uint8).reshape(B, 32)
     if (
         alpha is not None
         and q_np.shape[1] % 4 == 0
         and t_np.shape[1] % 4 == 0
     ):
-        chars = np.concatenate(
-            [_pack2(q_np, alpha), _pack2(t_np, alpha)], axis=1
+        blob = np.concatenate(
+            [_pack2(q_np, alpha), _pack2(t_np, alpha), meta_u8], axis=1
         )
         return _unpack_sentinelize(
-            q_np.shape[1] // 4, jnp.asarray(chars), _alpha_dev(alpha),
-            meta_d,
+            q_np.shape[1] // 4, jnp.asarray(blob), _alpha_dev(alpha)
         )
-    chars = np.concatenate(
-        [np.asarray(q_np, np.uint8), np.asarray(t_np, np.uint8)], axis=1
+    blob = np.concatenate(
+        [np.asarray(q_np, np.uint8), np.asarray(t_np, np.uint8),
+         meta_u8], axis=1
     )
-    return _widen_sentinelize(q_np.shape[1], jnp.asarray(chars), meta_d)
+    return _widen_sentinelize(q_np.shape[1], jnp.asarray(blob))
 
 
 def _params_mat_np(p: AlignParams, ms: np.ndarray) -> np.ndarray:
