@@ -2,13 +2,16 @@
 
 This is the throughput path the reference has no analog of (it processes one
 pair per process invocation, alignment.h:503-510): thousands of pairs are
-stored as raw uint8 char planes (1 byte/char over the host link; the
-engines' int32 sentinel layout is rebuilt on device by _sentinelize),
 grouped into (m_bucket, n_bucket) shape buckets by a greedy optimal-split
-partition under a compile budget (_bucket_keys), batch-padded to
-compile-stable rungs (_pad_batch), and each bucket executes as one device
-program vmapped over the batch dimension — score fills are dispatched
-async across all buckets before one collect wave.
+partition under a compile budget and a wall-time split stop (_bucket_keys,
+_split_min_cells), batch-padded to compile-stable rungs (_pad_batch), and
+each bucket executes as one device program vmapped over the batch
+dimension. Each bucket ships ONE host->device upload — 2-bit packed (or
+raw uint8) q|t chars with the f32 m/n/params meta matrix appended as raw
+bytes, bitcast-decoded and widened to the engines' int32 sentinel layout
+on device (_dev_inputs) — score fills are dispatched async across all
+buckets before one collect wave; rows fills+walks collect in flush waves
+of two pulls each.
 Padding is mask-correct by construction: DP values flow only rightward/
 downward so padded rows/columns never feed real cells, and every per-mode
 extraction (final-cell gather, running argmax, bottom-row scans) masks to
@@ -474,6 +477,7 @@ def _widen_sentinelize(qlen, blob):
 
 
 _ALPHA_DEV: dict = {}
+_ALPHA_ZERO = np.zeros(4, np.uint8)  # placeholder lut for unpacked blobs
 
 
 def _alpha_dev(alpha: np.ndarray):
@@ -540,11 +544,50 @@ def _params_mat(p: AlignParams, ms: np.ndarray) -> jnp.ndarray:
     return jnp.asarray(_params_mat_np(p, ms))
 
 
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
+def _kernel_widen(m_pad, n_pad, packed, has_allow, blob, lut):
+    """Decode one fused u8 upload blob into the Pallas kernel argument
+    layout (qs, ts, allow, ns, ms, pmat): [2-bit packed or raw q | t |
+    (allow bitplane) | f32 meta bytes], widened/sentinelized on device
+    exactly like the former host-side int32 layout."""
+    B = blob.shape[0]
+    ms, ns, ps = _meta_split(blob)
+    if packed:
+        def unpack2(p):
+            shifts = jnp.arange(0, 8, 2, dtype=jnp.uint8)
+            codes = (p[:, :, None] >> shifts[None, None, :]) & 3
+            return codes.reshape(B, p.shape[1] * 4).astype(jnp.int32)
+
+        qw, tw = m_pad // 4, n_pad // 4
+        qc = jnp.take(lut.astype(jnp.int32), unpack2(blob[:, :qw]))
+        tc = jnp.take(lut.astype(jnp.int32), unpack2(blob[:, qw:qw + tw]))
+        off = qw + tw
+    else:
+        qc = blob[:, :m_pad].astype(jnp.int32)
+        tc = blob[:, m_pad:m_pad + n_pad].astype(jnp.int32)
+        off = m_pad + n_pad
+    qi, ti = _sentinelize(qc, tc, ms, ns)
+    if has_allow:
+        bits = blob[:, off : off + (n_pad + 7) // 8]
+        shifts = jnp.arange(8, dtype=jnp.uint8)
+        allow = ((bits[:, :, None] >> shifts[None, None, :]) & 1)
+        allow = allow.reshape(B, -1)[:, :n_pad].astype(jnp.float32)
+    else:
+        allow = jnp.ones((B, n_pad), jnp.float32)
+    pmat = jnp.concatenate(
+        [ps[0:1, :5], jnp.zeros((1, 3), jnp.float32)], axis=1
+    )
+    return qi, ti, allow, ns[:, None], ms[:, None], pmat
+
+
 def _kernel_arrays(b, params: AlignParams, tile_b: int | None = None):
     """Device input arrays for a Pallas kernel bucket, batch padded to a
-    ``tile_b`` multiple (default TILE_B): (qs, ts, allow, ns, ms, pmat) as
-    jnp arrays, plus the true batch size B and the host qs/ts (for the
-    device walk)."""
+    ``tile_b`` multiple (default TILE_B): (qs, ts, allow, ns, ms, pmat)
+    as jnp arrays, plus the true batch size B and the device qs/ts (for
+    the device walk). ONE host->device upload per bucket (the former
+    six int32/f32 uploads each paid the tunnel's ~30 ms round trip, and
+    int32 char planes cost 4 bytes/char — 16x the packed transport for
+    the long-target fit buckets)."""
     from aligntools_tpu.ops.pallas_scan import TILE_B
 
     if tile_b is None:
@@ -553,32 +596,34 @@ def _kernel_arrays(b, params: AlignParams, tile_b: int | None = None):
     # batch rung first (compile-key stability across pipeline chunks),
     # then the kernel's tile multiple
     Bp = -(-_pad_batch(B) // tile_b) * tile_b
-    # Pallas kernels take the int32 sentinel layout directly (host-side
-    # widen; these are the small-batch/short-target buckets)
-    qs = np.full((Bp, b.m_pad), -1, np.int32)
-    ts = np.full((Bp, b.n_pad), -2, np.int32)
-    # widen BEFORE the where: with uint8 inputs NumPy-2 weak promotion
-    # would fold the -1/-2 sentinels to 255/254 in a uint8 result
-    qs[:B] = np.where(
-        np.arange(b.m_pad)[None, :] < b.m[:, None],
-        b.q.astype(np.int32), -1,
+    q = np.zeros((Bp, b.m_pad), np.uint8)
+    t = np.zeros((Bp, b.n_pad), np.uint8)
+    q[:B] = b.q
+    t[:B] = b.t
+    meta = np.zeros((Bp, 8), np.float32)
+    meta[:, 0] = 1
+    meta[:, 1] = 1
+    meta[:B, 0] = b.m
+    meta[:B, 1] = b.n
+    meta[:, 2:7] = [params.match, params.mismatch, params.gap_open,
+                    params.gap_extend, params.jump]
+    packed = (
+        b.alpha is not None and b.m_pad % 4 == 0 and b.n_pad % 4 == 0
     )
-    ts[:B] = np.where(
-        np.arange(b.n_pad)[None, :] < b.n[:, None],
-        b.t.astype(np.int32), -2,
+    parts = (
+        [_pack2(q, b.alpha), _pack2(t, b.alpha)] if packed else [q, t]
     )
-    ns = np.ones((Bp, 1), np.int32)
-    ms = np.ones((Bp, 1), np.int32)
-    ns[:B, 0] = b.n
-    ms[:B, 0] = b.m
-    allow = np.ones((Bp, b.n_pad), np.float32)
-    if b.allowed is not None:
-        allow[:B] = b.allowed.astype(np.float32)
-    pmat = np.zeros((1, 8), np.float32)
-    pmat[0, :5] = [params.match, params.mismatch, params.gap_open,
-                   params.gap_extend, params.jump]
-    dev = tuple(jnp.asarray(a) for a in (qs, ts, allow, ns, ms, pmat))
-    return dev, B, qs, ts
+    has_allow = b.allowed is not None
+    if has_allow:
+        ab = np.ones((Bp, b.n_pad), bool)
+        ab[:B] = b.allowed
+        parts.append(np.packbits(ab, axis=1, bitorder="little"))
+    parts.append(np.ascontiguousarray(meta).view(np.uint8).reshape(Bp, 32))
+    blob = np.concatenate(parts, axis=1)
+    lut = _alpha_dev(b.alpha if packed else _ALPHA_ZERO)
+    dev = _kernel_widen(b.m_pad, b.n_pad, packed, has_allow,
+                        jnp.asarray(blob), lut)
+    return dev, B, dev[0], dev[1]
 
 
 def _chunked_bucket_scores(mode, b, params: AlignParams, use_jump: bool):

@@ -240,7 +240,9 @@ def run_batch(args: list[str]) -> int:
                          "path stays in band")
     ap.add_argument("--sharded", action="store_true",
                     help="data-parallel over all devices (scores only)")
-    ap.add_argument("--chunk-size", type=int, default=512)
+    # 16384 measured optimal through the tunnel (benchmarks/e2e.py):
+    # the old 512 default cost 8x in per-chunk dispatch waves + pulls
+    ap.add_argument("--chunk-size", type=int, default=16384)
     ap.add_argument("--out", metavar="FILE", default=None,
                     help="output TSV file owned by the pipeline (with "
                          "--resume: crash-atomic chunk checkpointing)")

@@ -5,11 +5,16 @@ B x m x n bytes (1 GB for a 256 x 2048^2 batch). Over fast PCIe that is
 ~0.1 s, but through this environment's TPU tunnel (0.04 GB/s measured)
 it is ~25 s, dwarfing the 45 ms fill. The walk itself is sequential per
 pair but embarrassingly parallel ACROSS pairs, so this module runs it on
-the device: one ``lax.scan`` over m_pad + n_pad steps, each doing a
-B-element gather from the HBM-resident pointer tensor and emitting one
-(char1, char2) column per pair. Only the walked rows (B x (m+n) bytes,
-~2 MB) ever cross to the host, which reverses, trims, and applies the
-per-mode epilogues (global's unconsumed-prefix padding).
+the device: an early-exiting ``lax.while_loop`` (up to m_pad + n_pad
+steps, stopping the moment every pair is done — measured ~3 ms marginal
+per bucket; benchmarks/probe_walk.py), each step doing a B-element
+gather from the HBM-resident pointer tensor and emitting one
+(char1, char2) column per pair. Collection is two host round trips per
+FLUSH WAVE of buckets: one fused f32 scalar pull (count/fi/fj/err +
+caller extras such as fill scores), then one cols pull sliced to the
+longest actual walk — only those bytes ever cross to the host, which
+reverses, trims, and applies the per-mode epilogues (global's
+unconsumed-prefix padding).
 
 Semantics are identical to the host walker (engine/traceback.py) and the
 reference routines it mirrors (src/alignment.h:372-412, 558-592, 766-800,

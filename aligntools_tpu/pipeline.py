@@ -51,7 +51,7 @@ def run_pipeline(
     use_sites: bool = False,
     scores_only: bool = False,
     sharded: bool = False,
-    chunk_size: int = 512,
+    chunk_size: int = 16384,
     manifest_path: str | None = None,
     out=None,
     out_path: str | None = None,

@@ -9,8 +9,8 @@ trivial — newline-delimited
 requests on stdin, TSV results + a terminator on stdout — so anything
 (a shell loop, a socket wrapper, a workflow manager) can drive it:
 
-    <mode> <pairs.fa> [m=INT] [u=INT] [o=INT] [e=INT] [j=INT] [sites]
-           [scores_only] [cigar] [sharded]
+    <mode> <pairs.fa> [m=INT] [u=INT] [o=INT] [e=INT] [j=INT]
+           [chunk=INT] [sites] [scores_only] [cigar] [sharded]
 
 Per request the TSV rows stream out, followed by one line:
 
@@ -60,6 +60,7 @@ def handle_request(line: str, out) -> bool:
             scores_only="scores_only" in flags,
             sharded="sharded" in flags,
             cigar="cigar" in flags,
+            chunk_size=kv.get("chunk", 16384),
             out=out,
         )
         out.write(
