@@ -272,13 +272,27 @@ def _run(backend: str, degraded: bool):
         "reference_gcups": round(ref_gcups, 4) if ref_gcups else None,
         "roofline_f32_tops": round(roofline_tops, 3)
         if roofline_tops else None,
+        # >1 is possible: 19 ops/cell is the SPEC-engine estimate and
+        # the chunked engine's adaptive scan does fewer passes on
+        # typical rows, while the ceiling probe itself reads 10-30% low
+        # under tunnel load (DESIGN.md §4)
         "fraction_of_roofline": round(frac_roofline, 3)
         if frac_roofline else None,
+        "ops_per_cell_assumed": 19 if frac_roofline else None,
         "backend": jax.devices()[0].platform,
         "device": str(jax.devices()[0].device_kind),
     }
     if degraded:
         out["degraded"] = True  # device backend unavailable; CPU fallback
+    if not cpu:
+        try:
+            sys.path.insert(0, os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "benchmarks"))
+            from linkhealth import link_health
+
+            out["link"] = link_health()
+        except Exception:
+            pass
     print(json.dumps(out))
 
 

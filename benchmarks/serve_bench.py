@@ -94,6 +94,12 @@ def main():
     import jax
 
     rec["backend"] = jax.devices()[0].platform
+    try:
+        from benchmarks.linkhealth import link_health
+
+        rec["link"] = link_health()
+    except Exception:
+        pass
     print(json.dumps(rec), flush=True)
     if update:
         _update_results(rec)

@@ -424,8 +424,15 @@ def main():
                 )
 
     ref_gcups = _reference_anchor()
+    try:
+        from benchmarks.linkhealth import link_health
+
+        link = link_health()
+    except Exception:
+        link = None
     print(json.dumps({"reference_anchor_gcups":
-                      round(ref_gcups, 4) if ref_gcups else None}),
+                      round(ref_gcups, 4) if ref_gcups else None,
+                      "link": link}),
           flush=True)
 
     rows = []
@@ -466,7 +473,11 @@ def main():
             "",
             f"Backend: {dev.platform} ({dev.device_kind}); score-only "
             "fills, amortized on-device timing (see bench.py); one "
-            "subprocess per case.",
+            "subprocess per case."
+            + (f" Link health at sweep start: {link['rt_ms']} ms/call, "
+               f"{link['h2d_gbps']} GB/s h2d (swings 2-10x between "
+               "sessions — latency/transfer-bound rows swing with it)."
+               if link else ""),
             "",
             f"Same-run reference anchor: the reference C binary measured "
             f"live on this host at {round(ref_gcups, 4) if ref_gcups else '?'} "

@@ -112,14 +112,18 @@ def vmem_ceiling(shape=(32, 1024), chain=2048):
             print(f"  {dtype:8s}: ERROR {str(err)[:140]}")
 
 
-def roofline_ops_per_sec(dtype="float32", shape=(64, 2048), chain=256,
+def roofline_ops_per_sec(dtype="float32", shape=(64, 2048), chain=4096,
                          width=8):
     """One dtype's saturated VPU op ceiling in op/s (see vpu_roofline).
 
     Importable (bench.py calls this in the SAME session as its GCUPS
     measurement so the headline can be reported as a fraction of a
     same-run roofline — cross-session probes drift up to 2x through the
-    tunnel; DESIGN.md §4)."""
+    tunnel; DESIGN.md §4). The defaults here are HEAVIER than
+    vpu_roofline's (one run_k(1) ~ 13 G ops ~ 8 ms of device work):
+    the per-call tunnel round trip is 30-300 ms, so a short-chain
+    difference measures noise, not the ceiling — the long-chain
+    amortization keeps the K2-K1 signal above it."""
     import functools as ft
 
     from jax.experimental import pallas as pl
@@ -157,7 +161,7 @@ def roofline_ops_per_sec(dtype="float32", shape=(64, 2048), chain=256,
 
     a = jnp.asarray(np.ones(shape), dt)
     b = jnp.asarray(np.zeros(shape), dt)
-    per = _amortized(lambda K: run_k(K, a, b))
+    per = _amortized(lambda K: run_k(K, a, b), reps=3, k1=2, k2=12)
     return 3 * width * float(np.prod(shape)) * chain / per
 
 
