@@ -126,13 +126,17 @@ def _split_min_cells() -> int:
     overhead (~17 ms through the axon tunnel, benchmarks/probe_smallp.py)
     that the split's padding savings must buy back at the EFFECTIVE
     pipeline fill rate (~6-12 GCUPS at these shapes — transfers, not
-    the 90-GCUPS kernel, bound it). Measured sweep (probe_smallp +
-    threshold grid): 1e8 is the small-P optimum (P=512: 632 -> 2,487
-    pairs/s) and leaves the >=20k-pair partitions essentially at the
-    structural optimum (27-32 shapes), where overlapped dispatch
-    amortizes the overhead. Calibrated per device (``aligntools
-    calibrate`` key ``split_min_cells``); 0 off-TPU, where dispatch
-    costs microseconds and tests expect the structural partition."""
+    the 90-GCUPS kernel, bound it).
+
+    DEFAULT 0 (structural optimum): with the round-5 one-blob transport
+    (one upload per bucket instead of six) dispatches pipeline, and the
+    splitmin grid re-measured thr=0 FASTER at P=512 (0.09 s / ~5,500
+    pairs/s vs 0.21 s at 1e8) — the 1e8 optimum measured earlier in
+    round 5 belonged to the old six-upload transport. The knob remains
+    for degraded links (the tunnel's round trip swings to 300 ms, where
+    fewer buckets win again): ``aligntools calibrate`` measures the
+    grid per device (key ``split_min_cells``), and
+    ALIGNTOOLS_SPLIT_MIN_CELLS overrides."""
     env = os.environ.get("ALIGNTOOLS_SPLIT_MIN_CELLS")
     if env is not None:
         return int(env)
@@ -141,9 +145,9 @@ def _split_min_cells() -> int:
     try:
         from aligntools_tpu.engine.autotune import table
 
-        return int(table().get("split_min_cells", 100_000_000))
+        return int(table().get("split_min_cells", 0))
     except Exception:
-        return 100_000_000
+        return 0
 
 
 def _pad_batch(B: int) -> int:
