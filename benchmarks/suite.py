@@ -46,7 +46,18 @@ def _amortized(run_k, reps=3, k1=2, k2=10):
             best = min(best, time.perf_counter() - t0)
         return best
 
-    return (timed(k2) - timed(k1)) / (k2 - k1)
+    per = (timed(k2) - timed(k1)) / (k2 - k1)
+    if per <= 0:
+        # tunnel noise swamped the difference (short fills under a
+        # degraded link can invert it); widen the chain and retry once
+        # rather than report a negative rate
+        per = (timed(4 * k2) - timed(k1)) / (4 * k2 - k1)
+    if per <= 0:
+        raise RuntimeError(
+            "amortized timing non-positive twice — link too noisy for "
+            "this case; rerun when linkhealth recovers"
+        )
+    return per
 
 
 def _chain(one, qs):
