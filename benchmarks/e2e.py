@@ -158,8 +158,15 @@ def _update_results(rec):
     path = os.path.join(here, "RESULTS.md")
     with open(path) as f:
         text = f.read()
+    tail = ""
     if MARK in text:
-        text = text[: text.index(MARK)].rstrip() + "\n"
+        head, _, rest = text.partition(MARK)
+        # this writer owns ONLY its own section: preserve any later
+        # "## " sections (serve mode etc.)
+        nxt = rest.find("\n## ")
+        if nxt >= 0:
+            tail = rest[nxt:]
+        text = head.rstrip() + "\n"
     lines = [
         "",
         MARK,
@@ -185,7 +192,7 @@ def _update_results(rec):
         )
     lines += [
         "",
-        "Where the remaining wall goes (measured, round 4): the axon "
+        "Where the remaining wall goes (measured, rounds 4-5): the axon "
         "host->device link moves 0.05 GB/s and every separate "
         "dispatch/sync round-trips in ~30 ms, so the pipeline ships raw "
         "uint8 chars (2-bit packed when the workload alphabet has <= 4 "
@@ -196,10 +203,12 @@ def _update_results(rec):
         "(probe_chunkgrid.py) put the same fills at 26-78 GCUPS vs the "
         "~7 effective GCUPS seen through the link. Run-to-run variance "
         "through the tunnel is +-20%. The warm in-process rate was "
-        "1,338 pairs/s in round 2 and 7,711 in round 4.",
+        "1,338 pairs/s in round 2, 7,711 in round 4, and 8,180 in "
+        "round 5 (one-blob bucket transport; rows went 628-916 -> "
+        "2,791 pairs/s — early-exit walks, wave collection).",
     ]
     with open(path, "w") as f:
-        f.write(text + "\n".join(lines) + "\n")
+        f.write(text + "\n".join(lines) + "\n" + tail)
 
 
 if __name__ == "__main__":
