@@ -139,7 +139,7 @@ def _split_min_cells() -> int:
     ALIGNTOOLS_SPLIT_MIN_CELLS overrides."""
     env = os.environ.get("ALIGNTOOLS_SPLIT_MIN_CELLS")
     if env is not None:
-        return int(env)
+        return int(float(env))  # accept the docs' '1e8' form
     if not _on_tpu():
         return 0
     try:
@@ -414,6 +414,16 @@ def _vfill_fit(qs, ts, allowed, n_pad, use_jump, emit_ptrs, ns, ps):
 _sentinelize_dev = jax.jit(_sentinelize)
 
 
+def _unpack2(p):
+    """Device decode of a 2-bit packed char plane (B, L/4) -> (B, L)
+    int32 codes — _pack2's inverse, shared by every blob decoder
+    (_unpack_sentinelize, _kernel_widen)."""
+    B, L4 = p.shape
+    shifts = jnp.arange(0, 8, 2, dtype=jnp.uint8)
+    codes = (p[:, :, None] >> shifts[None, None, :]) & 3
+    return codes.reshape(B, L4 * 4).astype(jnp.int32)
+
+
 def _pack2(plane: np.ndarray, lut: np.ndarray) -> np.ndarray:
     """Host 2-bit pack: map chars through the 4-entry alphabet ``lut``
     and pack 4 codes/byte (vectorized strided OR; pad chars map to
@@ -455,15 +465,8 @@ def _unpack_sentinelize(qlen4, blob, lut):
     bound end-to-end throughput; DNA workloads get 4x over the uint8
     path for one tiny fused gather)."""
     ms, ns, ps = _meta_split(blob)
-
-    def unpack(p):
-        B, L4 = p.shape
-        shifts = jnp.arange(0, 8, 2, dtype=jnp.uint8)
-        codes = (p[:, :, None] >> shifts[None, None, :]) & 3
-        return codes.reshape(B, L4 * 4).astype(jnp.int32)
-
-    qc = jnp.take(lut.astype(jnp.int32), unpack(blob[:, :qlen4]))
-    tc = jnp.take(lut.astype(jnp.int32), unpack(blob[:, qlen4:-32]))
+    qc = jnp.take(lut.astype(jnp.int32), _unpack2(blob[:, :qlen4]))
+    tc = jnp.take(lut.astype(jnp.int32), _unpack2(blob[:, qlen4:-32]))
     qi, ti = _sentinelize(qc, tc, ms, ns)
     return qi, ti, ns, ms, ps
 
@@ -557,14 +560,10 @@ def _kernel_widen(m_pad, n_pad, packed, has_allow, blob, lut):
     B = blob.shape[0]
     ms, ns, ps = _meta_split(blob)
     if packed:
-        def unpack2(p):
-            shifts = jnp.arange(0, 8, 2, dtype=jnp.uint8)
-            codes = (p[:, :, None] >> shifts[None, None, :]) & 3
-            return codes.reshape(B, p.shape[1] * 4).astype(jnp.int32)
-
         qw, tw = m_pad // 4, n_pad // 4
-        qc = jnp.take(lut.astype(jnp.int32), unpack2(blob[:, :qw]))
-        tc = jnp.take(lut.astype(jnp.int32), unpack2(blob[:, qw:qw + tw]))
+        qc = jnp.take(lut.astype(jnp.int32), _unpack2(blob[:, :qw]))
+        tc = jnp.take(lut.astype(jnp.int32),
+                      _unpack2(blob[:, qw:qw + tw]))
         off = qw + tw
     else:
         qc = blob[:, :m_pad].astype(jnp.int32)

@@ -334,20 +334,11 @@ def _bench_splitmin(P: int, thr: int) -> float:
     small-workload latency-floor knob; batch._split_min_cells)."""
     import time as _t
 
-    import numpy as _np
-
     from aligntools_tpu.batch import _bucket_keys, batch_scores
     from aligntools_tpu.params import AlignParams
+    from aligntools_tpu.utils.synth import clustered_pairs
 
-    rng = _np.random.default_rng(7)
-    alpha = list(b"ACGT")
-    ms = _np.exp(rng.normal(_np.log(300), 0.2, P)).astype(int)
-    ns = _np.exp(rng.normal(_np.log(3000), 0.25, P)).astype(int)
-    pairs = [
-        (bytes(rng.choice(alpha, max(1, int(a))).tolist()),
-         bytes(rng.choice(alpha, max(1, int(b))).tolist()))
-        for a, b in zip(ms, ns)
-    ]
+    pairs = clustered_pairs(P)
     keys = _bucket_keys(pairs, 64, 128, min_split_cells=thr)
     p = AlignParams()
     batch_scores("local", pairs, p, keys=keys)  # compile + warm
@@ -602,7 +593,7 @@ def calibrate(force: bool = False, log=print) -> dict:
         }
         result["split_min_cells"] = int(min(sm_ms, key=sm_ms.get))
     else:
-        log("  split_min_cells calibration failed; keeping default 1e8")
+        log("  split_min_cells calibration failed; keeping default 0")
     os.makedirs(os.path.dirname(path), exist_ok=True)
     tmp = path + ".tmp"
     with open(tmp, "w") as f:

@@ -91,6 +91,10 @@ def run_pipeline(
         raise ValueError("junction sites are only meaningful in fit mode")
     if band is not None and use_sites:
         raise ValueError("--band does not support the fit jump state")
+    if band is not None and sharded:
+        # compute() routes sharded FIRST; silently ignoring --band there
+        # would report unbanded scores as banded ones
+        raise ValueError("--band does not support --sharded")
 
     manifest = None
     if manifest_path:
@@ -213,11 +217,11 @@ def run_pipeline(
                         )
                     counters.pairs += 1
                     counters.cells += len(pairs[k][0]) * len(pairs[k][1])
-                if sharded and band is None:
+                if sharded:
                     # batch_scores_sharded doesn't thread counters; the
                     # unsharded paths account executed padded cells
-                    # (incl. batch-rung rows) inside align_batch; banded
-                    # runs (checked first in compute()) account their own
+                    # (incl. batch-rung rows) inside align_batch
+                    # (sharded+band is rejected upfront)
                     from aligntools_tpu.batch import _bucket_keys
 
                     counters.padded_cells += sum(

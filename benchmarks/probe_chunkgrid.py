@@ -51,8 +51,9 @@ def bench_cell(B, m, n_pad, chunk, k1=2, k2=8):
     bks = AB._bucketize(pairs, None, keys=[(m_pad, n_pad)] * B)
     b = list(bks.values())[0]
     q_np, t_np, _, m_np, n_np = AB._pad_rows(b)
-    qs, ts, nss = AB._dev_inputs(q_np, t_np, m_np, n_np)
-    ps = AB._params_mat(AlignParams(), m_np)
+    qs, ts, nss, _, ps = AB._dev_inputs(
+        q_np, t_np, m_np, n_np, params=AlignParams()
+    )
     cells = len(q_np) * m_pad * n_pad / 1e9
 
     def one(q):

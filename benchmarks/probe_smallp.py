@@ -36,17 +36,10 @@ def main():
     from aligntools_tpu import backend
     from aligntools_tpu.batch import _bucket_keys, batch_scores
     from aligntools_tpu.params import AlignParams
+    from aligntools_tpu.utils.synth import clustered_pairs
 
     backend.enable_compile_cache()
-    rng = np.random.default_rng(7)
-    alpha = list(b"ACGT")
-    ms = np.exp(rng.normal(np.log(300), 0.2, P)).astype(int)
-    ns = np.exp(rng.normal(np.log(3000), 0.25, P)).astype(int)
-    pairs = [
-        (bytes(rng.choice(alpha, max(1, int(a))).tolist()),
-         bytes(rng.choice(alpha, max(1, int(b))).tolist()))
-        for a, b in zip(ms, ns)
-    ]
+    pairs = clustered_pairs(P)
     true_cells = sum(len(q) * len(t) for q, t in pairs)
     p = AlignParams()
     points = []

@@ -37,7 +37,16 @@ def _amortized(run_k, reps=2, k1=1, k2=5):
             best = min(best, time.perf_counter() - t0)
         return best
 
-    return (timed(k2) - timed(k1)) / (k2 - k1)
+    per = (timed(k2) - timed(k1)) / (k2 - k1)
+    if per <= 0:
+        # tunnel noise inverted the difference; widen the chain once,
+        # then fail loudly rather than return a negative rate
+        per = (timed(4 * k2) - timed(k1)) / (4 * k2 - k1)
+    if per <= 0:
+        raise RuntimeError(
+            "amortized timing non-positive twice — link too noisy"
+        )
+    return per
 
 
 def elementwise_ceiling(shape=(256, 2048), chain=512):
