@@ -2,10 +2,10 @@
 
 Cold CLI invocations pay per-process XLA compilation (minutes through a
 remote-compile TPU service; see BASELINE.md); a server process pays once
-and then sustains device-rate throughput (~7,700 pairs/s measured warm
-on the clustered m~300/n~3000 read set, ~21,500 pairs/s device-rate;
-benchmarks/RESULTS.md serve section). The protocol is deliberately
-trivial — newline-delimited
+and then sustains warm-request throughput (measured through THIS loop
+on the clustered m~300/n~3000 read set: 5,096 pairs/s score-only,
+2,571 pairs/s full rows, warm spread ~5%; benchmarks/RESULTS.md serve
+section). The protocol is deliberately trivial — newline-delimited
 requests on stdin, TSV results + a terminator on stdout — so anything
 (a shell loop, a socket wrapper, a workflow manager) can drive it:
 
